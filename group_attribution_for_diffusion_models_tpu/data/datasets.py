@@ -1,0 +1,313 @@
+"""Numpy-native dataset registry.
+
+TPU-first replacement for the reference's torchvision-based registry
+(reference src/datasets.py:398-513). Every dataset materializes as a
+`ArrayDataset`: an images array in **NHWC float32 normalized to [-1, 1]**
+plus an integer label array — feeding `jnp` batches with zero per-item Python
+overhead, so the input pipeline never stalls the TPU.
+
+Covered datasets (parity with reference src/datasets.py):
+
+* cifar       — CIFAR-10 (reference :447-455)
+* cifar2      — CIFAR-10 filtered to {automobile, horse} (reference CIFAR2 :22-56)
+* cifar100    — CIFAR-100 animal classes regrouped into 20 groups
+                (reference CIFAR100_original :59-118)
+* cifar100_f  — CIFAR-100 imbalanced filter, 2,4,...,200 per class
+                (reference CIFAR100_filter :273-310)
+* mnist       — MNIST idx format (reference :477-489)
+* celeba      — CelebA-HQ 256 image dir + labels.csv with celeb group
+                (reference CelebA :313-347)
+* imagefolder — generic directory of images (reference ImageDataset :350-373)
+* synthetic_* — deterministic random datasets for tests/benchmarks (no
+                downloads; this environment has no network egress)
+
+Raw archives are read from ``constants.DATASET_DIR`` in their standard binary
+formats (no torchvision dependency).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import pickle
+import struct
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..config import constants
+
+# CIFAR-10 class indices: 1 = automobile, 7 = horse (reference src/datasets.py:22-56).
+CIFAR2_CLASSES = (1, 7)
+
+# CIFAR-100 animal-superclass fine labels kept by CIFAR100_original
+# (reference src/datasets.py:59-118): the 20 classes of the 4 animal
+# superclasses used in the paper's CIFAR-100 experiments.
+CIFAR100_ANIMAL_SUPERCLASSES = {
+    "aquatic_mammals": [4, 30, 55, 72, 95],
+    "fish": [1, 32, 67, 73, 91],
+    "large_carnivores": [3, 42, 43, 88, 97],
+    "large_omnivores_and_herbivores": [15, 19, 21, 31, 38],
+}
+
+
+@dataclasses.dataclass
+class ArrayDataset:
+    """Images (N, H, W, C) float32 in [-1, 1] + integer group labels (N,).
+
+    ``names`` optionally carries per-item string ids (filenames, celeb names)
+    for group-table workloads.
+    """
+
+    images: np.ndarray
+    labels: np.ndarray
+    names: Optional[List[str]] = None
+
+    def __post_init__(self):
+        assert self.images.ndim == 4, self.images.shape
+        assert len(self.images) == len(self.labels)
+
+    def __len__(self) -> int:
+        return len(self.images)
+
+    def subset(self, idx: np.ndarray) -> "ArrayDataset":
+        names = [self.names[i] for i in idx] if self.names is not None else None
+        return ArrayDataset(self.images[idx], self.labels[idx], names)
+
+    @property
+    def num_classes(self) -> int:
+        return int(len(np.unique(self.labels)))
+
+
+def _normalize(u8: np.ndarray) -> np.ndarray:
+    """uint8 [0,255] -> float32 [-1,1] (the reference's Normalize([0.5],[0.5]))."""
+    return (u8.astype(np.float32) / 255.0 - 0.5) / 0.5
+
+
+# --- CIFAR ------------------------------------------------------------------
+
+
+def _load_cifar10_raw(root: str, train: bool) -> Tuple[np.ndarray, np.ndarray]:
+    """Parse the python-pickle CIFAR-10 archive layout."""
+    base = os.path.join(root, "cifar-10-batches-py")
+    files = (
+        [f"data_batch_{i}" for i in range(1, 6)] if train else ["test_batch"]
+    )
+    xs, ys = [], []
+    for fname in files:
+        with open(os.path.join(base, fname), "rb") as f:
+            entry = pickle.load(f, encoding="latin1")
+        xs.append(np.asarray(entry["data"], dtype=np.uint8))
+        ys.extend(entry.get("labels", entry.get("fine_labels")))
+    x = np.concatenate(xs).reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1)
+    return x, np.asarray(ys, dtype=np.int64)
+
+
+def _load_cifar100_raw(root: str, train: bool) -> Tuple[np.ndarray, np.ndarray]:
+    base = os.path.join(root, "cifar-100-python")
+    fname = "train" if train else "test"
+    with open(os.path.join(base, fname), "rb") as f:
+        entry = pickle.load(f, encoding="latin1")
+    x = np.asarray(entry["data"], dtype=np.uint8).reshape(-1, 3, 32, 32)
+    return x.transpose(0, 2, 3, 1), np.asarray(entry["fine_labels"], dtype=np.int64)
+
+
+def _load_mnist_raw(root: str, train: bool) -> Tuple[np.ndarray, np.ndarray]:
+    """Parse MNIST idx files; pads 28x28 -> 32x32 like the reference's Pad(2)."""
+    prefix = "train" if train else "t10k"
+    base = os.path.join(root, "MNIST", "raw")
+    with open(os.path.join(base, f"{prefix}-images-idx3-ubyte"), "rb") as f:
+        _, n, rows, cols = struct.unpack(">IIII", f.read(16))
+        images = np.frombuffer(f.read(), dtype=np.uint8).reshape(n, rows, cols, 1)
+    with open(os.path.join(base, f"{prefix}-labels-idx1-ubyte"), "rb") as f:
+        _, n = struct.unpack(">II", f.read(8))
+        labels = np.frombuffer(f.read(), dtype=np.uint8).astype(np.int64)
+    return images, labels
+
+
+# --- CelebA-HQ / image folders ---------------------------------------------
+
+
+def _load_image_dir(
+    root: str, size: int, labels_csv: Optional[str] = None
+) -> ArrayDataset:
+    """Load a directory of images, optionally with a labels.csv group table.
+
+    Mirrors reference CelebA (src/datasets.py:313-347): labels.csv columns
+    ``(filename, celeb)``; items return (image, group, filename).
+    """
+    from PIL import Image
+
+    if labels_csv is not None:
+        import pandas as pd
+
+        df = pd.read_csv(labels_csv)
+        fname_col, group_col = df.columns[0], df.columns[1]
+        files = df[fname_col].tolist()
+        groups = df[group_col].astype("category").cat.codes.to_numpy(np.int64)
+    else:
+        files = sorted(
+            f
+            for f in os.listdir(root)
+            if f.lower().endswith((".png", ".jpg", ".jpeg", ".webp"))
+        )
+        groups = np.zeros(len(files), dtype=np.int64)
+
+    imgs = np.empty((len(files), size, size, 3), dtype=np.uint8)
+    for i, fname in enumerate(files):
+        with Image.open(os.path.join(root, fname)) as im:
+            im = im.convert("RGB").resize((size, size), Image.BILINEAR)
+            imgs[i] = np.asarray(im, dtype=np.uint8)
+    return ArrayDataset(_normalize(imgs), groups, names=list(files))
+
+
+# --- CIFAR-100 variants -----------------------------------------------------
+
+
+def _cifar100_animals(x: np.ndarray, y: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Filter to the 20 animal classes and relabel by superclass-major order.
+
+    Reference CIFAR100_original (src/datasets.py:59-118) keeps 4 animal
+    superclasses (20 fine classes) and relabels them 0..19.
+    """
+    kept: List[int] = []
+    for sc in CIFAR100_ANIMAL_SUPERCLASSES.values():
+        kept.extend(sc)
+    kept_arr = np.asarray(sorted(kept))
+    mask = np.isin(y, kept_arr)
+    relabel = {c: i for i, c in enumerate(kept_arr.tolist())}
+    new_y = np.asarray([relabel[c] for c in y[mask].tolist()], dtype=np.int64)
+    return x[mask], new_y
+
+
+def _cifar100_imbalanced(
+    x: np.ndarray, y: np.ndarray, seed: int = 42
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Imbalanced-class filter: class k keeps 2*(k+1) examples (2,4,...,200).
+
+    Reference CIFAR100_filter (src/datasets.py:273-310).
+    """
+    rng = np.random.RandomState(seed)
+    keep_idx: List[int] = []
+    for cls in range(100):
+        cls_idx = np.flatnonzero(y == cls)
+        rng.shuffle(cls_idx)
+        keep_idx.extend(cls_idx[: 2 * (cls + 1)].tolist())
+    keep = np.asarray(sorted(keep_idx))
+    return x[keep], y[keep]
+
+
+def cifar100_regroup(
+    features: np.ndarray, labels: np.ndarray, num_groups: int = 40, seed: int = 42
+) -> np.ndarray:
+    """K-means regrouping of classes into pseudo-groups by mean class feature.
+
+    Reference CIFAR100_regroup + apply_clustering (src/datasets.py:121-271)
+    cluster ResNet-18 class-mean embeddings into ``num_groups`` groups. Here
+    the feature extractor is pluggable: pass any (N, D) per-image features.
+    Returns the per-image pseudo-group labels.
+    """
+    from sklearn.cluster import KMeans
+
+    classes = np.unique(labels)
+    class_means = np.stack([features[labels == c].mean(axis=0) for c in classes])
+    km = KMeans(n_clusters=num_groups, random_state=seed, n_init=10).fit(class_means)
+    class_to_group = {c: g for c, g in zip(classes.tolist(), km.labels_.tolist())}
+    return np.asarray([class_to_group[c] for c in labels.tolist()], dtype=np.int64)
+
+
+# --- Synthetic (test/bench) -------------------------------------------------
+
+
+def make_synthetic(
+    n: int = 256,
+    size: int = 32,
+    channels: int = 3,
+    num_classes: int = 10,
+    seed: int = 0,
+) -> ArrayDataset:
+    """Deterministic random dataset for tests and benchmarks."""
+    rng = np.random.RandomState(seed)
+    images = rng.uniform(-1.0, 1.0, size=(n, size, size, channels)).astype(np.float32)
+    labels = rng.randint(0, num_classes, size=n).astype(np.int64)
+    return ArrayDataset(images, labels)
+
+
+# --- Registry ---------------------------------------------------------------
+
+
+def create_dataset(
+    dataset_name: str,
+    train: bool = True,
+    dataset_dir: Optional[str] = None,
+) -> ArrayDataset:
+    """Build a dataset by name (reference create_dataset src/datasets.py:398-513)."""
+    root = dataset_dir or constants.DATASET_DIR
+
+    if dataset_name.startswith("synthetic"):
+        # "synthetic", "synthetic_64x8" (n=64 size=8) etc., for tests.
+        parts = dataset_name.split("_")
+        n, size = 256, 32
+        if len(parts) > 1 and "x" in parts[1]:
+            n, size = (int(v) for v in parts[1].split("x"))
+        return make_synthetic(n=n, size=size)
+
+    if dataset_name == "cifar":
+        x, y = _load_cifar10_raw(root, train)
+        return ArrayDataset(_normalize(x), y)
+    if dataset_name == "cifar2":
+        x, y = _load_cifar10_raw(root, train)
+        mask = np.isin(y, CIFAR2_CLASSES)
+        # Relabel to 0/1 by sorted class order like the reference's CIFAR2.
+        y2 = (y[mask] == CIFAR2_CLASSES[1]).astype(np.int64)
+        return ArrayDataset(_normalize(x[mask]), y2)
+    if dataset_name == "cifar100":
+        x, y = _load_cifar100_raw(root, train)
+        x, y = _cifar100_animals(x, y)
+        return ArrayDataset(_normalize(x), y)
+    if dataset_name == "cifar100_f":
+        x, y = _load_cifar100_raw(root, train)
+        x, y = _cifar100_imbalanced(x, y)
+        return ArrayDataset(_normalize(x), y)
+    if dataset_name == "mnist":
+        x, y = _load_mnist_raw(root, train)
+        # Pad 28->32 with -1 (black) so the U-Net sample_size=32 applies.
+        x = _normalize(x)
+        pad = ((0, 0), (2, 2), (2, 2), (0, 0))
+        return ArrayDataset(np.pad(x, pad, constant_values=-1.0), y)
+    if dataset_name == "celeba":
+        img_dir = os.path.join(root, "celeba_hq", "train" if train else "test")
+        labels_csv = os.path.join(img_dir, "labels.csv")
+        return _load_image_dir(
+            img_dir, 256, labels_csv if os.path.exists(labels_csv) else None
+        )
+    if dataset_name == "imagenette":
+        split = "train" if train else "val"
+        return _load_image_dir(os.path.join(root, "imagenette2", split), 256)
+
+    raise ValueError(
+        f"dataset_name={dataset_name!r} should be one of "
+        "['cifar', 'cifar2', 'cifar100', 'cifar100_f', 'mnist', 'celeba', "
+        "'imagenette', 'synthetic*']"
+    )
+
+
+def batch_iterator(
+    dataset: ArrayDataset,
+    batch_size: int,
+    seed: int,
+    drop_remainder: bool = True,
+):
+    """Infinite shuffled epoch iterator over numpy batches.
+
+    Host-side and allocation-free beyond index math; batches are handed to
+    jitted train steps which overlap H2D transfer with compute.
+    """
+    n = len(dataset)
+    rng = np.random.RandomState(seed)
+    while True:
+        perm = rng.permutation(n)
+        end = (n // batch_size) * batch_size if drop_remainder else n
+        for i in range(0, end, batch_size):
+            idx = perm[i : i + batch_size]
+            yield dataset.images[idx], dataset.labels[idx]
