@@ -1,0 +1,260 @@
+"""Shared U-Net building blocks (Flax linen, NHWC).
+
+TPU-first re-design of the diffusers block zoo the reference instantiates via
+config dicts (reference src/ddpm_config.py:48-82; vendored
+src/diffusers/models/attention_processor.py). Everything is NHWC so convs map
+straight onto the MXU without layout transposes, GroupNorm statistics run in
+fp32 for stability while matmuls/convs can run bf16, and attention flattens
+spatial dims into a single short sequence (<=4096 tokens for all workloads —
+SURVEY.md §5.7), which XLA fuses well; a Pallas flash-attention path plugs in
+via ops.attention for the larger configs.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.attention import dot_product_attention
+
+
+def sinusoidal_embedding(
+    timesteps: jnp.ndarray,
+    dim: int,
+    flip_sin_to_cos: bool = False,
+    freq_shift: float = 1.0,
+    max_period: float = 10000.0,
+) -> jnp.ndarray:
+    """Transformer sinusoidal timestep embedding.
+
+    Matches diffusers get_timestep_embedding semantics (including the
+    downscale_freq_shift denominator) so that positional time embeddings are
+    numerically comparable with reference-trained models.
+    """
+    half_dim = dim // 2
+    exponent = -math.log(max_period) * jnp.arange(half_dim, dtype=jnp.float32)
+    exponent = exponent / (half_dim - freq_shift)
+    emb = timesteps.astype(jnp.float32)[:, None] * jnp.exp(exponent)[None, :]
+    emb = jnp.concatenate([jnp.sin(emb), jnp.cos(emb)], axis=-1)
+    if flip_sin_to_cos:
+        emb = jnp.concatenate([emb[:, half_dim:], emb[:, :half_dim]], axis=-1)
+    if dim % 2 == 1:
+        emb = jnp.pad(emb, ((0, 0), (0, 1)))
+    return emb
+
+
+class TimestepEmbedding(nn.Module):
+    """Two-layer MLP lifting the sinusoidal embedding to time_embed_dim."""
+
+    embed_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, temb: jnp.ndarray) -> jnp.ndarray:
+        temb = nn.Dense(self.embed_dim, dtype=self.dtype, name="linear_1")(temb)
+        temb = nn.silu(temb)
+        return nn.Dense(self.embed_dim, dtype=self.dtype, name="linear_2")(temb)
+
+
+class ResnetBlock(nn.Module):
+    """GN-SiLU-Conv resnet block with additive time conditioning.
+
+    `hidden_channels` (conv1 out / conv2 in) is separate from `out_channels`
+    so structural pruning can shrink the inner width without touching the
+    block interface — the pruned model stays dense (SURVEY.md §2.6).
+    """
+
+    out_channels: int
+    hidden_channels: Optional[int] = None
+    groups: int = 32
+    eps: float = 1e-6
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        temb: jnp.ndarray,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        hidden_ch = self.hidden_channels or self.out_channels
+        h = nn.GroupNorm(self.groups, epsilon=self.eps, dtype=jnp.float32, name="norm1")(x)
+        h = nn.silu(h)
+        h = nn.Conv(hidden_ch, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
+
+        t = nn.Dense(hidden_ch, dtype=self.dtype, name="time_emb_proj")(nn.silu(temb))
+        h = h + t[:, None, None, :]
+
+        h = nn.GroupNorm(self.groups, epsilon=self.eps, dtype=jnp.float32, name="norm2")(h)
+        h = nn.silu(h)
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
+
+        if x.shape[-1] != self.out_channels:
+            x = nn.Conv(
+                self.out_channels, (1, 1), dtype=self.dtype, name="conv_shortcut"
+            )(x)
+        return x + h
+
+
+class SelfAttention2D(nn.Module):
+    """Spatial self-attention over HxW tokens with residual connection.
+
+    head_dim=None means a single head of full channel width (the diffusers
+    UNet2DModel attention_head_dim=None convention the CIFAR config uses,
+    reference src/ddpm_config.py:53).
+    """
+
+    head_dim: Optional[int] = None
+    groups: int = 32
+    eps: float = 1e-6
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, h, w, c = x.shape
+        num_heads = 1 if self.head_dim is None else max(c // self.head_dim, 1)
+        head_dim = c // num_heads
+
+        residual = x
+        y = nn.GroupNorm(self.groups, epsilon=self.eps, dtype=jnp.float32, name="group_norm")(x)
+        y = y.reshape(b, h * w, c)
+
+        q = nn.Dense(c, dtype=self.dtype, name="to_q")(y)
+        k = nn.Dense(c, dtype=self.dtype, name="to_k")(y)
+        v = nn.Dense(c, dtype=self.dtype, name="to_v")(y)
+
+        q = q.reshape(b, h * w, num_heads, head_dim)
+        k = k.reshape(b, h * w, num_heads, head_dim)
+        v = v.reshape(b, h * w, num_heads, head_dim)
+        y = dot_product_attention(q, k, v)
+        y = y.reshape(b, h * w, c)
+
+        y = nn.Dense(c, dtype=self.dtype, name="to_out")(y)
+        return residual + y.reshape(b, h, w, c)
+
+
+class GEGLU(nn.Module):
+    dim_out: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        h = nn.Dense(self.dim_out * 2, dtype=self.dtype, name="proj")(x)
+        h, gate = jnp.split(h, 2, axis=-1)
+        return h * nn.gelu(gate)
+
+
+class CrossAttention(nn.Module):
+    """Multi-head attention over (sequence, context) used by transformer blocks.
+
+    `num_heads` follows the UNet2DConditionModel convention where the config's
+    attention_head_dim is the head *count* (reference src/ddpm_config.py:550).
+    Per-projection LoRA with heterogeneous q/k/v/out ranks attaches here via
+    models.lora (replacing the reference's vendored diffusers module whose
+    whole purpose was heterogeneous ranks, SURVEY.md §2.1).
+    """
+
+    num_heads: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, context: Optional[jnp.ndarray] = None
+    ) -> jnp.ndarray:
+        c = x.shape[-1]
+        head_dim = c // self.num_heads
+        context = x if context is None else context
+
+        q = nn.Dense(c, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        k = nn.Dense(c, use_bias=False, dtype=self.dtype, name="to_k")(context)
+        v = nn.Dense(c, use_bias=False, dtype=self.dtype, name="to_v")(context)
+
+        b, n, _ = q.shape
+        m = k.shape[1]
+        q = q.reshape(b, n, self.num_heads, head_dim)
+        k = k.reshape(b, m, self.num_heads, head_dim)
+        v = v.reshape(b, m, self.num_heads, head_dim)
+        out = dot_product_attention(q, k, v).reshape(b, n, c)
+        return nn.Dense(c, dtype=self.dtype, name="to_out")(out)
+
+
+class TransformerBlock(nn.Module):
+    """BasicTransformerBlock: self-attn, cross-attn, GEGLU feed-forward."""
+
+    num_heads: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, context: jnp.ndarray) -> jnp.ndarray:
+        c = x.shape[-1]
+        h = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x)
+        x = x + CrossAttention(self.num_heads, dtype=self.dtype, name="attn1")(h)
+        h = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x)
+        x = x + CrossAttention(self.num_heads, dtype=self.dtype, name="attn2")(h, context)
+        h = nn.LayerNorm(dtype=jnp.float32, name="norm3")(x)
+        h = GEGLU(c * 4, dtype=self.dtype, name="ff_geglu")(h)
+        return x + nn.Dense(c, dtype=self.dtype, name="ff_out")(h)
+
+
+class SpatialTransformer(nn.Module):
+    """Transformer2DModel: GN, 1x1 proj in, transformer block(s), 1x1 proj out."""
+
+    num_heads: int
+    depth: int = 1
+    groups: int = 32
+    eps: float = 1e-6
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, context: jnp.ndarray) -> jnp.ndarray:
+        b, h, w, c = x.shape
+        residual = x
+        y = nn.GroupNorm(self.groups, epsilon=self.eps, dtype=jnp.float32, name="norm")(x)
+        y = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_in")(y)
+        y = y.reshape(b, h * w, c)
+        for i in range(self.depth):
+            y = TransformerBlock(self.num_heads, dtype=self.dtype, name=f"block_{i}")(
+                y, context
+            )
+        y = y.reshape(b, h, w, c)
+        y = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_out")(y)
+        return residual + y
+
+
+class Downsample(nn.Module):
+    """Stride-2 conv downsample; padding=0 uses diffusers' asymmetric (0,1) pad."""
+
+    out_channels: int
+    padding: int = 0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.padding == 0:
+            x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+            pad = "VALID"
+        else:
+            pad = self.padding
+        return nn.Conv(
+            self.out_channels, (3, 3), strides=(2, 2), padding=pad, dtype=self.dtype,
+            name="conv",
+        )(x)
+
+
+class Upsample(nn.Module):
+    """Nearest-neighbor 2x upsample followed by a 3x3 conv."""
+
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, h, w, c = x.shape
+        x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
+        return nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv")(x)

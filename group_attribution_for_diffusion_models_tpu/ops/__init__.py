@@ -1,0 +1,1 @@
+from .attention import dot_product_attention  # noqa: F401
