@@ -1,0 +1,195 @@
+"""The ensemble axis: subset-parallel retraining as one compiled program.
+
+This is the framework's headline lever (SURVEY.md §2.7). The reference runs
+one SLURM process per removal seed — hundreds of sequential/array jobs, each
+retraining on its subset (reference text_to_image/experiments/train.job:16-21,
+setup_unlearn_commands.py:213-218). Here the removal seeds become a leading
+**ensemble dimension**: member train-states are stacked pytrees, the train
+step is `jax.vmap`-ed over that axis, and the stacked state is sharded over
+the mesh's "ensemble" axis — so B subset-retrains advance per device step
+with zero cross-member communication and near-perfect scaling.
+
+Data path (speed-of-light on HBM): the whole training set stays resident
+on-device as uint8; per member, per step, batch indices are drawn **on
+device** from the member's padded remaining-index table (wraparound padding +
+per-member modular arithmetic keeps shapes static), gathered, and normalized
+to [-1, 1] in-kernel. The host sends nothing per step but a PRNG key.
+
+Every member sees exactly its own subset (identical semantics to a dedicated
+per-subset dataloader with uniform-with-replacement sampling); subset
+identity comes from data.removal's seed-deterministic samplers.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config.registry import SchedulerSpec
+from ..diffusion.schedulers import ScheduleState
+from ..training.state import TrainState
+from ..training.train import make_train_step
+from .mesh import ensemble_sharding, make_mesh
+
+
+def pad_member_indices(
+    member_indices: Sequence[np.ndarray], pad_multiple: int = 128
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Stack ragged remaining-index lists into a (B, max_n) table.
+
+    Padding repeats each member's indices cyclically, so any slot < max_n is a
+    valid datum; sampling stays uniform because draws are taken modulo the
+    member's true size.
+    """
+    sizes = np.asarray([len(ix) for ix in member_indices], dtype=np.int32)
+    if (sizes == 0).any():
+        raise ValueError("every ensemble member needs a nonempty subset")
+    max_n = int(-(-sizes.max() // pad_multiple) * pad_multiple)
+    table = np.zeros((len(member_indices), max_n), dtype=np.int32)
+    for row, ix in enumerate(member_indices):
+        reps = -(-max_n // len(ix))
+        table[row] = np.tile(np.asarray(ix, dtype=np.int32), reps)[:max_n]
+    return table, sizes
+
+
+def stack_states(states: Sequence[TrainState]) -> TrainState:
+    """Stack per-member TrainStates along a new leading ensemble axis."""
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *states)
+
+
+def unstack_state(stacked: TrainState, member: int) -> TrainState:
+    """Extract one member's TrainState from the stacked ensemble."""
+    return jax.tree_util.tree_map(lambda x: x[member], stacked)
+
+
+def init_ensemble_state(
+    params, tx: optax.GradientTransformation, num_members: int, init_keys=None,
+    init_fn: Optional[Callable] = None,
+) -> TrainState:
+    """Stacked TrainState: identical init (sparse-FT from one pruned model) or
+    per-member random init via `init_fn(key)` (independent retrains)."""
+    if init_fn is not None:
+        states = [
+            TrainState.create(init_fn(k), tx)
+            for k in (init_keys if init_keys is not None else [])
+        ]
+        if not states:
+            raise ValueError("init_fn requires init_keys")
+        return stack_states(states)
+    one = TrainState.create(params, tx)
+    return jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (num_members,) + x.shape).copy(), one
+    )
+
+
+@dataclasses.dataclass
+class EnsembleTrainer:
+    """Compiled subset-parallel trainer.
+
+    Args:
+        apply_fn: model.apply of the (shared-architecture) U-Net.
+        tx: optax transformation (shared across members).
+        schedule/spec: noise schedule.
+        images_u8: full training set, (N, H, W, C) uint8, resident on device.
+        member_indices: per-member remaining indices (ragged), from
+            data.removal samplers.
+        batch_size: per-member batch size.
+        mesh: optional Mesh; when given, the stacked state and step outputs
+            are sharded over its "ensemble" axis.
+    """
+
+    apply_fn: Callable
+    tx: optax.GradientTransformation
+    schedule: ScheduleState
+    spec: SchedulerSpec
+    images_u8: np.ndarray
+    member_indices: Sequence[np.ndarray]
+    batch_size: int
+    mesh: Optional[object] = None
+    ema_max_decay: float = 0.9999
+    ema_power: float = 0.75
+
+    def __post_init__(self):
+        table, sizes = pad_member_indices(self.member_indices)
+        self.num_members = len(self.member_indices)
+        self._table = jnp.asarray(table)
+        self._sizes = jnp.asarray(sizes)
+        self._images = jnp.asarray(self.images_u8)
+        if self._images.dtype != jnp.uint8 and self._images.dtype != jnp.float32:
+            raise ValueError("images must be uint8 or float32")
+
+        member_step = make_train_step(
+            self.apply_fn,
+            self.tx,
+            self.schedule,
+            self.spec,
+            ema_max_decay=self.ema_max_decay,
+            ema_power=self.ema_power,
+        )
+
+        has_data_axis = (
+            self.mesh is not None
+            and "data" in self.mesh.axis_names
+            and self.mesh.shape["data"] > 1
+        )
+
+        def ensemble_step(stacked: TrainState, key: jax.Array):
+            keys = jax.random.split(key, self.num_members)
+            member_keys = jax.vmap(jax.random.split)(keys)
+            k_idx, k_step = member_keys[:, 0], member_keys[:, 1]
+            # Per-member on-device batch index draw (uniform over the member's
+            # true subset via the cyclic-padded table).
+            slot = jax.vmap(
+                lambda k, size: jax.random.randint(k, (self.batch_size,), 0, size)
+            )(k_idx, self._sizes)
+            idx = jnp.take_along_axis(self._table, slot, axis=1)
+            batch = self._images[idx]  # (B, batch, H, W, C)
+            if batch.dtype == jnp.uint8:
+                batch = batch.astype(jnp.float32) / 127.5 - 1.0
+            if has_data_axis:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                batch = jax.lax.with_sharding_constraint(
+                    batch, NamedSharding(self.mesh, P("ensemble", "data"))
+                )
+            return jax.vmap(member_step)(stacked, batch, k_step)
+
+        if self.mesh is not None:
+            # Shard stacked state and outputs along the ensemble axis; inputs
+            # other than the state are replicated. With a >1 data axis each
+            # member's batch additionally splits across it and XLA inserts the
+            # gradient psum over "data".
+            sh = ensemble_sharding(self.mesh)
+            self._step = jax.jit(
+                ensemble_step,
+                in_shardings=(sh, None),
+                out_shardings=(sh, sh),
+            )
+        else:
+            self._step = jax.jit(ensemble_step)
+
+    def init_state(self, params=None, init_fn=None, seed: int = 0) -> TrainState:
+        keys = jax.random.split(jax.random.PRNGKey(seed), self.num_members)
+        stacked = init_ensemble_state(
+            params, self.tx, self.num_members,
+            init_keys=keys if init_fn is not None else None, init_fn=init_fn,
+        )
+        if self.mesh is not None:
+            stacked = jax.device_put(stacked, ensemble_sharding(self.mesh))
+        return stacked
+
+    def step(self, stacked: TrainState, key: jax.Array):
+        """One parallel step for all members: (state, metrics) with leading B."""
+        return self._step(stacked, key)
+
+    def run(self, stacked: TrainState, num_steps: int, seed: int = 0):
+        """Drive num_steps ensemble steps; returns (state, last_metrics)."""
+        metrics = None
+        for i in range(num_steps):
+            stacked, metrics = self.step(stacked, jax.random.PRNGKey(seed * 1_000_003 + i))
+        return stacked, metrics

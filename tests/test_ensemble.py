@@ -1,0 +1,119 @@
+"""Ensemble-axis tests on the virtual 8-device CPU mesh (SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from group_attribution_for_diffusion_models_tpu.config import SchedulerSpec, UNetSpec
+from group_attribution_for_diffusion_models_tpu.data import (
+    make_synthetic,
+    sample_removal,
+)
+from group_attribution_for_diffusion_models_tpu.diffusion import make_schedule
+from group_attribution_for_diffusion_models_tpu.models import UNet2D
+from group_attribution_for_diffusion_models_tpu.parallel import (
+    EnsembleTrainer,
+    make_mesh,
+    pad_member_indices,
+    unstack_state,
+)
+from group_attribution_for_diffusion_models_tpu.training import make_optimizer
+
+TINY = UNetSpec(
+    sample_size=8,
+    block_out_channels=(8, 16),
+    down_block_types=("DownBlock2D", "DownBlock2D"),
+    up_block_types=("UpBlock2D", "UpBlock2D"),
+    layers_per_block=1,
+    norm_num_groups=4,
+)
+
+
+def _trainer(num_members=8, mesh=None, n=64):
+    spec = SchedulerSpec()
+    schedule = make_schedule(spec)
+    model = UNet2D(TINY)
+    ds = make_synthetic(n=n, size=8)
+    images_u8 = ((ds.images + 1.0) * 127.5).astype(np.uint8)
+    member_idx = [
+        sample_removal("shapley", n, seed=s)[0] for s in range(num_members)
+    ]
+    tx = make_optimizer("adam", lr=1e-3)
+    trainer = EnsembleTrainer(
+        apply_fn=model.apply,
+        tx=tx,
+        schedule=schedule,
+        spec=spec,
+        images_u8=images_u8,
+        member_indices=member_idx,
+        batch_size=8,
+        mesh=mesh,
+    )
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)), jnp.zeros((1,), jnp.int32)
+    )["params"]
+    return trainer, params
+
+
+def test_pad_member_indices():
+    table, sizes = pad_member_indices([np.array([1, 2, 3]), np.arange(10)], pad_multiple=4)
+    assert table.shape == (2, 12)
+    np.testing.assert_array_equal(sizes, [3, 10])
+    # Cyclic padding: every slot is a valid member datum.
+    assert set(table[0]) == {1, 2, 3}
+    assert set(table[1]) == set(range(10))
+
+
+def test_ensemble_members_diverge_and_learn():
+    trainer, params = _trainer(num_members=4)
+    state = trainer.init_state(params=params)
+    state, metrics = trainer.run(state, 12, seed=0)
+    losses = np.asarray(metrics["loss"])
+    assert losses.shape == (4,)
+    assert np.isfinite(losses).all()
+    # Different subsets -> different parameter trajectories.
+    m0 = unstack_state(state, 0)
+    m1 = unstack_state(state, 1)
+    l0 = jax.tree_util.tree_leaves(m0.params)[0]
+    l1 = jax.tree_util.tree_leaves(m1.params)[0]
+    assert not np.allclose(np.asarray(l0), np.asarray(l1))
+    assert int(np.asarray(m0.step)) == 12
+
+
+def test_ensemble_matches_single_subset_training_semantics():
+    """A 1-member ensemble behaves like plain training on that subset."""
+    trainer, params = _trainer(num_members=1)
+    state = trainer.init_state(params=params)
+    state, metrics = trainer.run(state, 5, seed=3)
+    assert np.isfinite(np.asarray(metrics["loss"])).all()
+
+
+def test_ensemble_sharded_over_mesh():
+    mesh = make_mesh((8, 1))
+    trainer, params = _trainer(num_members=8, mesh=mesh)
+    state = trainer.init_state(params=params)
+    leaf = jax.tree_util.tree_leaves(state.params)[0]
+    # Leading (ensemble) axis is actually sharded over the 8 devices.
+    assert len(leaf.sharding.device_set) == 8
+    state, metrics = trainer.run(state, 3, seed=1)
+    assert np.asarray(metrics["loss"]).shape == (8,)
+    leaf = jax.tree_util.tree_leaves(state.params)[0]
+    assert len(leaf.sharding.device_set) == 8
+
+
+def test_per_member_random_init():
+    trainer, params = _trainer(num_members=3)
+    model = UNet2D(TINY)
+
+    def init_fn(key):
+        return model.init(
+            key, jnp.zeros((1, 8, 8, 3)), jnp.zeros((1,), jnp.int32)
+        )["params"]
+
+    state = trainer.init_state(init_fn=init_fn, seed=5)
+    diffs = [
+        float(np.abs(np.asarray(leaf[0]) - np.asarray(leaf[1])).max())
+        for leaf in jax.tree_util.tree_leaves(state.params)
+    ]
+    assert max(diffs) > 1e-6  # kernels differ across member inits
