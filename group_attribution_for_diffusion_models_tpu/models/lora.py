@@ -1,0 +1,174 @@
+"""LoRA as a functional parameter transform with per-projection ranks.
+
+The reference vendors 2,400 lines of diffusers attention_processor.py solely
+so pruned LoRA with *different ranks per q/k/v/out projection* can serialize
+(reference src/diffusers/models/attention_processor.py:37-125,1783-1910;
+SURVEY.md §2.1). In JAX none of that machinery exists: LoRA is a separate
+pytree {layer_path: {down: (in, r), up: (r, out)}} whose ranks are just leaf
+shapes, and applying it is a pure merge
+
+    W_eff = W + scale * down @ up
+
+computed on the fly inside the train step. Gradients flow only through the
+LoRA tree (jax.grad w.r.t. the lora argument), so "train LoRA only" needs no
+parameter freezing plumbing. Rank pruning (prune_lora) slices (down-col,
+up-row) pairs by magnitude — heterogeneous ranks fall out for free.
+
+Targets: Dense kernels whose module name matches `target_patterns`
+(to_q/to_k/to_v/to_out on attention blocks, matching the reference's LoRA
+injection, reference text_to_image/train_text_to_image_lora.py:776-820).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, List, Mapping, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+DEFAULT_TARGETS = ("to_q", "to_k", "to_v", "to_out")
+
+
+def _iter_dense_paths(params: Mapping, targets: Sequence[str], prefix=()) -> List[Tuple]:
+    """Paths of Dense kernels whose leaf module name matches a target."""
+    out = []
+    for name, sub in params.items():
+        if isinstance(sub, Mapping):
+            if name in targets and "kernel" in sub and np.ndim(sub["kernel"]) == 2:
+                out.append(prefix + (name,))
+            else:
+                out.extend(_iter_dense_paths(sub, targets, prefix + (name,)))
+    return out
+
+
+def _get(tree, path):
+    for p in path:
+        tree = tree[p]
+    return tree
+
+
+def _set(tree: Dict, path, value) -> Dict:
+    """Functionally set a nested dict entry, copying along the path."""
+    if len(path) == 1:
+        new = dict(tree)
+        new[path[0]] = value
+        return new
+    new = dict(tree)
+    new[path[0]] = _set(tree[path[0]], path[1:], value)
+    return new
+
+
+def lora_path_name(path: Tuple) -> str:
+    return "/".join(path)
+
+
+def lora_init(
+    params: Mapping,
+    rank: int = 256,
+    key: Optional[jax.Array] = None,
+    targets: Sequence[str] = DEFAULT_TARGETS,
+    scale: float = 1.0,
+) -> Dict[str, Dict[str, jnp.ndarray]]:
+    """Zero-output init: down ~ N(0, 1/rank), up = 0 (standard LoRA init)."""
+    key = key if key is not None else jax.random.PRNGKey(0)
+    tree: Dict[str, Dict[str, jnp.ndarray]] = {}
+    for path in _iter_dense_paths(params, targets):
+        kernel = _get(params, path)["kernel"]
+        d_in, d_out = kernel.shape
+        r = min(rank, d_in, d_out)
+        key, sub = jax.random.split(key)
+        tree[lora_path_name(path)] = {
+            "down": jax.random.normal(sub, (d_in, r)) / r,
+            "up": jnp.zeros((r, d_out)),
+        }
+    return tree
+
+
+def lora_merge(params, lora_tree: Mapping, scale: float = 1.0):
+    """params + scale * down@up on each targeted kernel (pure)."""
+    new = params
+    for name, ab in lora_tree.items():
+        path = tuple(name.split("/"))
+        leaf = _get(params, path)
+        delta = ab["down"] @ ab["up"]
+        new_leaf = dict(leaf)
+        new_leaf["kernel"] = leaf["kernel"] + scale * delta
+        new = _set(new, path, new_leaf)
+    return new
+
+
+def lora_ranks(lora_tree: Mapping) -> Dict[str, int]:
+    return {name: int(ab["down"].shape[1]) for name, ab in lora_tree.items()}
+
+
+def lora_num_params(lora_tree: Mapping) -> int:
+    return int(
+        sum(
+            int(np.prod(ab["down"].shape)) + int(np.prod(ab["up"].shape))
+            for ab in lora_tree.values()
+        )
+    )
+
+
+def rank_pair_importance(lora_tree: Mapping) -> Dict[str, np.ndarray]:
+    """Magnitude importance of each rank-1 (down-col, up-row) pair.
+
+    |down[:, r]| * |up[r, :]| — the score prune_lora greedily removes
+    (reference text_to_image/prune_lora.py:122-141).
+    """
+    return {
+        name: np.linalg.norm(np.asarray(ab["down"]), axis=0)
+        * np.linalg.norm(np.asarray(ab["up"]), axis=1)
+        for name, ab in lora_tree.items()
+    }
+
+
+def prune_lora(
+    lora_tree: Mapping,
+    pruning_ratio: float,
+    min_rank: int = 1,
+) -> Dict[str, Dict[str, jnp.ndarray]]:
+    """Globally remove the lowest-importance rank pairs until only
+    (1 - ratio) of LoRA params remain (reference prune_lora.py:143-180).
+
+    Ranks become heterogeneous across projections; each layer keeps at least
+    `min_rank`.
+    """
+    if not 0.0 <= pruning_ratio < 1.0:
+        raise ValueError(f"pruning_ratio must be in [0, 1), got {pruning_ratio}")
+    imp = rank_pair_importance(lora_tree)
+    # Global pool of (score, layer, rank_idx, cost).
+    pool = []
+    for name, scores in imp.items():
+        d_in = lora_tree[name]["down"].shape[0]
+        d_out = lora_tree[name]["up"].shape[1]
+        cost = d_in + d_out  # params freed by removing one rank pair
+        for r_idx, s in enumerate(scores):
+            pool.append((float(s), name, r_idx, cost))
+    pool.sort(key=lambda t: t[0])
+
+    total = lora_num_params(lora_tree)
+    target = total * (1.0 - pruning_ratio)
+    remaining = total
+    ranks_left = {name: len(s) for name, s in imp.items()}
+    drop: Dict[str, set] = {name: set() for name in imp}
+    for s, name, r_idx, cost in pool:
+        if remaining <= target:
+            break
+        if ranks_left[name] <= min_rank:
+            continue
+        drop[name].add(r_idx)
+        ranks_left[name] -= 1
+        remaining -= cost
+
+    pruned = {}
+    for name, ab in lora_tree.items():
+        keep = np.asarray(
+            [r for r in range(ab["down"].shape[1]) if r not in drop[name]]
+        )
+        pruned[name] = {
+            "down": jnp.asarray(np.asarray(ab["down"])[:, keep]),
+            "up": jnp.asarray(np.asarray(ab["up"])[keep, :]),
+        }
+    return pruned
