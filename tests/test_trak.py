@@ -1,0 +1,115 @@
+"""JL projection + TRAK feature/score tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from group_attribution_for_diffusion_models_tpu.attributions.methods.trak import (
+    aggregate_by_group,
+    compute_gradient_scores,
+    feature_timesteps,
+    make_grad_feature_fn,
+)
+from group_attribution_for_diffusion_models_tpu.config import SchedulerSpec, UNetSpec
+from group_attribution_for_diffusion_models_tpu.diffusion import make_schedule
+from group_attribution_for_diffusion_models_tpu.models import UNet2D
+from group_attribution_for_diffusion_models_tpu.ops.jl_projection import (
+    jl_project,
+    jl_project_xla,
+)
+
+
+def test_jl_norm_preservation_and_determinism():
+    rng = np.random.RandomState(0)
+    g = jnp.asarray(rng.normal(size=(8, 10000)).astype(np.float32))
+    y1 = np.asarray(jl_project(g, 2048, seed=1))
+    y2 = np.asarray(jl_project(g, 2048, seed=1))
+    y3 = np.asarray(jl_project(g, 2048, seed=2))
+    np.testing.assert_array_equal(y1, y2)
+    assert (y1 != y3).any()
+    ratios = np.linalg.norm(y1, axis=1) / np.linalg.norm(np.asarray(g), axis=1)
+    np.testing.assert_allclose(ratios, 1.0, atol=0.15)
+
+
+def test_jl_distance_preservation():
+    """Pairwise distances survive the projection (the JL lemma)."""
+    rng = np.random.RandomState(1)
+    g = jnp.asarray(rng.normal(size=(6, 5000)).astype(np.float32))
+    y = np.asarray(jl_project_xla(g, 2048, seed=0))
+    g_np = np.asarray(g)
+    d_in = np.linalg.norm(g_np[:, None] - g_np[None, :], axis=-1)
+    d_out = np.linalg.norm(y[:, None] - y[None, :], axis=-1)
+    iu = np.triu_indices(6, 1)
+    np.testing.assert_allclose(d_out[iu] / d_in[iu], 1.0, atol=0.15)
+
+
+def test_jl_linear():
+    rng = np.random.RandomState(2)
+    a = jnp.asarray(rng.normal(size=(2, 3000)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(2, 3000)).astype(np.float32))
+    pa = np.asarray(jl_project(a, 512, seed=5))
+    pb = np.asarray(jl_project(b, 512, seed=5))
+    pab = np.asarray(jl_project(a + b, 512, seed=5))
+    np.testing.assert_allclose(pab, pa + pb, atol=1e-3)
+
+
+def test_feature_timesteps():
+    np.testing.assert_array_equal(
+        feature_timesteps(1000, 10, "uniform"), np.arange(0, 1000, 100)
+    )
+    np.testing.assert_array_equal(
+        feature_timesteps(1000, 5, "cumulative"), np.arange(5)
+    )
+
+
+def test_grad_features_end_to_end():
+    spec = SchedulerSpec()
+    schedule = make_schedule(spec)
+    tiny = UNetSpec(
+        sample_size=8,
+        block_out_channels=(8, 16),
+        down_block_types=("DownBlock2D", "DownBlock2D"),
+        up_block_types=("UpBlock2D", "UpBlock2D"),
+        layers_per_block=1,
+        norm_num_groups=4,
+    )
+    model = UNet2D(tiny)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)), jnp.zeros((1,), jnp.int32)
+    )["params"]
+    feat_fn = make_grad_feature_fn(
+        model.apply, schedule, spec, output_fn="loss", proj_dim=256, num_timesteps=2
+    )
+    images = jax.random.uniform(jax.random.PRNGKey(1), (4, 8, 8, 3), minval=-1, maxval=1)
+    f1 = np.asarray(feat_fn(params, images, jax.random.PRNGKey(2)))
+    f2 = np.asarray(feat_fn(params, images, jax.random.PRNGKey(2)))
+    assert f1.shape == (4, 256)
+    np.testing.assert_array_equal(f1, f2)
+    assert np.isfinite(f1).all()
+    assert np.abs(f1).sum() > 0
+    # Distinct images -> distinct gradient features.
+    assert not np.allclose(f1[0], f1[1])
+
+
+def test_gradient_scores_methods():
+    rng = np.random.RandomState(3)
+    phi_t = rng.normal(size=(20, 16))
+    phi_g = rng.normal(size=(5, 16))
+    trak = compute_gradient_scores(phi_t, phi_g, "trak", lambda_reg=0.1)
+    assert trak.shape == (20, 5)
+    sim = compute_gradient_scores(phi_t, phi_g, "grad_sim")
+    np.testing.assert_allclose(sim, phi_t @ phi_g.T)
+    rel = compute_gradient_scores(phi_t, phi_g, "relative_if", lambda_reg=0.1)
+    ren = compute_gradient_scores(phi_t, phi_g, "renormalized_if", lambda_reg=0.1)
+    assert np.isfinite(rel).all() and np.isfinite(ren).all()
+    with pytest.raises(ValueError):
+        compute_gradient_scores(phi_t, phi_g, "bogus")
+
+
+def test_aggregate_by_group():
+    scores = np.array([[1.0], [2.0], [3.0], [4.0]])
+    labels = [0, 0, 1, 1]
+    np.testing.assert_allclose(aggregate_by_group(scores, labels, "sum"), [3.0, 7.0])
+    np.testing.assert_allclose(aggregate_by_group(scores, labels, "mean"), [1.5, 3.5])
+    np.testing.assert_allclose(aggregate_by_group(scores, labels, "max"), [2.0, 4.0])
