@@ -1,0 +1,163 @@
+"""Compute global model behaviors (IS, FID, precision/recall) for a model.
+
+CLI mirror of reference unconditional_generation/calculate_global_scores.py
+:160-482: regenerate samples from a checkpoint (or read a sample dir), run
+the InceptionV3 tower once for both FID features and IS logits, compare
+against reference-set statistics (cached stats.pkl-style), and append the
+JSONL row with remaining_idx/removed_idx so the LDS tier can rebuild masks.
+
+Without pretrained Inception weights (zero-egress image) the tower runs
+random-init: scores are self-consistent for pipeline tests but not
+comparable to the reference — pass --inception_weights for converted
+pytorch_fid weights.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+from ..attributions.global_scores import (
+    build_manifold,
+    calculate_fid_from_features,
+    compute_feature_stats,
+    compute_precision_recall,
+    inception_score_from_logits,
+    load_inception,
+    load_stats,
+    make_feature_fn,
+    save_stats,
+)
+from ..data import create_dataset
+from ..diffusion.sampling import make_sampler
+from ..models import UNet2D
+from ..training import TrainState, make_optimizer
+from ..utils import append_record
+from ..utils.ckpt import load_checkpoint, load_unet_spec
+from .common import add_common_args, config_for, provenance_row
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    add_common_args(parser)
+    parser.add_argument("--load", type=str, default=None, help="model dir")
+    parser.add_argument("--sample_dir", type=str, default=None,
+                        help="precomputed sample dir instead of a model")
+    parser.add_argument("--n_samples", type=int, default=1024)
+    parser.add_argument("--batch_size", type=int, default=256)
+    parser.add_argument("--inception_weights", type=str, default=None)
+    parser.add_argument("--ref_stats", type=str, default=None,
+                        help="cached reference stats .pkl (computed if absent)")
+    parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument("--skip_pr", action="store_true", default=False)
+    return parser.parse_args(argv)
+
+
+def _load_sample_dir(path: str) -> np.ndarray:
+    from PIL import Image
+
+    files = sorted(
+        f for f in os.listdir(path) if f.lower().endswith((".png", ".jpg"))
+    )
+    imgs = []
+    for f in files:
+        with Image.open(os.path.join(path, f)) as im:
+            imgs.append(np.asarray(im.convert("RGB"), np.float32) / 255.0)
+    return np.stack(imgs)
+
+
+def main(argv=None):
+    import jax
+    import jax.numpy as jnp
+
+    args = parse_args(argv)
+    cfg = config_for(args.dataset)
+
+    t0 = time.time()
+    if args.sample_dir:
+        samples = _load_sample_dir(args.sample_dir)
+        remaining_idx, removed_idx = [], []
+    elif args.load:
+        spec = cfg.unet
+        model = UNet2D(spec)
+        x0 = jnp.zeros((1, spec.sample_size, spec.sample_size, spec.in_channels))
+        params = model.init(jax.random.PRNGKey(0), x0, jnp.zeros((1,), jnp.int32))["params"]
+        state, meta = load_checkpoint(
+            args.load, TrainState.create(params, make_optimizer("adam", lr=1e-4))
+        )
+        loaded_spec = load_unet_spec(meta)
+        if loaded_spec is not None and loaded_spec != spec:
+            model = UNet2D(loaded_spec)
+        remaining_idx = meta.get("remaining_idx", [])
+        removed_idx = meta.get("removed_idx", [])
+        batch = min(args.batch_size, args.n_samples)
+        sampler = make_sampler(
+            model.apply, cfg.scheduler,
+            (batch, spec.sample_size, spec.sample_size, spec.in_channels),
+            num_inference_steps=args.num_inference_steps, kind="ddim",
+        )
+        chunks = []
+        for b in range(-(-args.n_samples // batch)):
+            key = jax.random.fold_in(jax.random.PRNGKey(args.seed), b)
+            chunks.append(np.asarray(sampler(state.ema_params, key)))
+        samples = np.concatenate(chunks)[: args.n_samples]
+    else:
+        raise SystemExit("need --load or --sample_dir")
+    sampling_time = time.time() - t0
+
+    if samples.shape[-1] == 1:
+        samples = np.repeat(samples, 3, axis=-1)
+
+    model_inc, variables = load_inception(args.inception_weights)
+    extract = make_feature_fn(model_inc, variables, batch_size=args.batch_size)
+
+    t0 = time.time()
+    gen_feats, gen_logits = extract(samples)
+
+    # Reference features / stats.
+    ref_feats = None
+    if args.ref_stats and os.path.exists(args.ref_stats):
+        ref_stats = load_stats(args.ref_stats)
+    else:
+        ref = create_dataset(args.dataset, train=True)
+        ref_imgs = ref.images[: max(args.n_samples, 2048)] / 2.0 + 0.5
+        if ref_imgs.shape[-1] == 1:
+            ref_imgs = np.repeat(ref_imgs, 3, axis=-1)
+        ref_feats, _ = extract(ref_imgs)
+        ref_stats = compute_feature_stats(ref_feats)
+        if args.ref_stats:
+            save_stats(args.ref_stats, *ref_stats)
+
+    fid_value = calculate_fid_from_features(gen_feats, ref_stats=ref_stats)
+    is_mean, is_std = inception_score_from_logits(gen_logits)
+    if args.skip_pr or ref_feats is None:
+        precision = recall = None
+    else:
+        precision, recall = compute_precision_recall(ref_feats, gen_feats)
+    scoring_time = time.time() - t0
+
+    row = provenance_row(
+        args,
+        fid_value=fid_value,
+        **{"is": is_mean},
+        is_std=is_std,
+        precision=precision,
+        recall=recall,
+        remaining_idx=list(remaining_idx),
+        removed_idx=list(removed_idx),
+        sampling_time=sampling_time,
+        scoring_time=scoring_time,
+    )
+    db = args.db or os.path.join(args.outdir, f"{args.dataset}_global_db.jsonl")
+    append_record(db, row)
+    print(
+        f"fid={fid_value:.3f} is={is_mean:.3f}+-{is_std:.3f} "
+        f"precision={precision} recall={recall} -> {db}"
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,145 @@
+"""Shared CLI plumbing: experiment naming, removal setup, provenance rows.
+
+The reference's directory-naming convention doubles as the experiment key
+(SURVEY.md §5.6): ``outdir/<dataset>/<method>/models/<removal_dir>/`` with
+``removal_dir = <dist>[_alpha=<a>]_seed=<seed>`` (reference
+unconditional_generation/main.py:236-254). LDS scripts later filter JSONL
+rows by these recorded args, so both the layout and the row keys are
+preserved bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from ..config import constants
+from ..data import create_dataset, sample_removal
+from ..data.datasets import ArrayDataset
+
+
+def config_for(dataset: str):
+    """Workload config; synthetic_* datasets get a tiny smoke-test config."""
+    from ..config.registry import (
+        OptimizerSpec,
+        SchedulerSpec,
+        TrainSpec,
+        UNetSpec,
+        WorkloadConfig,
+        get_config,
+    )
+
+    if not dataset.startswith("synthetic"):
+        return get_config(dataset)
+    parts = dataset.split("_")
+    size = 32
+    if len(parts) > 1 and "x" in parts[1]:
+        _, size = (int(v) for v in parts[1].split("x"))
+    budgets = {m: 10 for m in ("retrain", "prune_fine_tune", "ga", "gd", "esd")}
+    return WorkloadConfig(
+        dataset=dataset,
+        image_size=size,
+        unet=UNetSpec(
+            sample_size=size,
+            block_out_channels=(8, 16),
+            down_block_types=("DownBlock2D", "DownBlock2D"),
+            up_block_types=("UpBlock2D", "UpBlock2D"),
+            layers_per_block=1,
+            norm_num_groups=4,
+        ),
+        scheduler=SchedulerSpec(),
+        train=TrainSpec(
+            batch_size=8,
+            optimizer=OptimizerSpec(name="adam", lr=1e-3),
+            training_steps=budgets,
+            ckpt_freq={m: 10 for m in budgets},
+            sample_freq={m: 100 for m in budgets},
+            n_samples=4,
+        ),
+    )
+
+
+def removal_dir_name(
+    removal_dist: str,
+    removal_seed: int = 0,
+    datamodel_alpha: Optional[float] = None,
+) -> str:
+    """`full`, or `<dist>/<dist>[_alpha=<a>]_seed=<seed>`."""
+    if removal_dist == "full":
+        return "full"
+    if removal_dist == "datamodel" and datamodel_alpha is not None:
+        leaf = f"{removal_dist}_alpha={datamodel_alpha}_seed={removal_seed}"
+    else:
+        leaf = f"{removal_dist}_seed={removal_seed}"
+    return os.path.join(removal_dist, leaf)
+
+
+def model_output_dir(
+    outdir: str,
+    dataset: str,
+    method: str,
+    removal_dist: str,
+    removal_seed: int = 0,
+    datamodel_alpha: Optional[float] = None,
+) -> str:
+    return os.path.join(
+        outdir,
+        dataset,
+        method,
+        "models",
+        removal_dir_name(removal_dist, removal_seed, datamodel_alpha),
+    )
+
+
+def add_common_args(parser: argparse.ArgumentParser) -> None:
+    parser.add_argument("--dataset", type=str, required=True,
+                        help="dataset name (incl. synthetic_* for smoke runs)")
+    parser.add_argument("--outdir", type=str, default=constants.OUTDIR)
+    parser.add_argument("--db", type=str, default=None,
+                        help="JSONL results database path")
+    parser.add_argument("--exp_name", type=str, default=None)
+    parser.add_argument("--opt_seed", type=int, default=42,
+                        help="seed for model init / training randomness")
+    parser.add_argument("--removal_dist", type=str, default="full",
+                        choices=constants.REMOVAL_DIST)
+    parser.add_argument("--removal_seed", type=int, default=0)
+    parser.add_argument("--datamodel_alpha", type=float, default=0.5)
+    parser.add_argument("--removal_idx", type=int, default=None,
+                        help="index for loo/aoi removal")
+    parser.add_argument("--by_class", action="store_true", default=False)
+    parser.add_argument("--num_inference_steps", type=int, default=100)
+
+
+def setup_removal(
+    args, dataset: ArrayDataset
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Sample the removal split for this job from the CLI args."""
+    if args.removal_dist == "full":
+        return np.arange(len(dataset)), np.array([], dtype=np.int64)
+    target = dataset.labels if args.by_class else len(dataset)
+    return sample_removal(
+        args.removal_dist,
+        target,
+        seed=args.removal_seed,
+        alpha=args.datamodel_alpha,
+        by_class=args.by_class,
+        idx=args.removal_idx,
+    )
+
+
+def provenance_row(args, **extra) -> Dict:
+    """vars(args) + extras: the JSONL row schema LDS keys on (SURVEY.md §5.5)."""
+    row = {k: v for k, v in vars(args).items()}
+    row["timestamp"] = time.time()
+    row.update(extra)
+    return row
+
+
+def save_removal_indices(model_dir: str, remaining, removed) -> None:
+    os.makedirs(model_dir, exist_ok=True)
+    np.save(os.path.join(model_dir, "remaining_idx.npy"), np.asarray(remaining))
+    np.save(os.path.join(model_dir, "removed_idx.npy"), np.asarray(removed))

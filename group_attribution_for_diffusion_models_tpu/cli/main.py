@@ -1,0 +1,191 @@
+"""Train / retrain / prune-fine-tune / unlearn a diffusion model on a removal subset.
+
+CLI mirror of reference unconditional_generation/main.py (args :37-203, loop
+:654-845) rebuilt on the TPU runtime: the hot loop is the jitted train step
+(antithetic timesteps, EMA, clip), sampling is the compiled lax.scan DDIM
+sampler, checkpoints are orbax TrainState saves carrying removal indices and
+timing, and completion appends the standard JSONL provenance row.
+
+Usage (smoke):
+    python -m group_attribution_for_diffusion_models_tpu.cli.main \
+        --dataset synthetic_64x8 --method retrain --removal_dist shapley \
+        --removal_seed 0 --outdir /tmp/out --training_steps 10
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+from ..config import constants
+from ..data import create_dataset, batch_iterator
+from ..diffusion import make_schedule
+from ..diffusion.sampling import make_sampler
+from ..models import UNet2D
+from ..training import TrainState, make_optimizer, make_train_step
+from ..utils import append_record
+from ..utils.ckpt import (
+    load_checkpoint,
+    load_unet_spec,
+    resume_or_init,
+    save_checkpoint,
+)
+from .common import (
+    add_common_args,
+    config_for,
+    model_output_dir,
+    provenance_row,
+    save_removal_indices,
+    setup_removal,
+)
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    add_common_args(parser)
+    parser.add_argument("--method", type=str, default="retrain",
+                        choices=constants.METHOD)
+    parser.add_argument("--load", type=str, default=None,
+                        help="model dir of a pretrained ckpt to start from")
+    parser.add_argument("--pruned_model_dir", type=str, default=None,
+                        help="model dir of a pruned ckpt (prune_fine_tune)")
+    parser.add_argument("--training_steps", type=int, default=None,
+                        help="override the config's per-method budget")
+    parser.add_argument("--batch_size", type=int, default=None)
+    parser.add_argument("--lr", type=float, default=None)
+    parser.add_argument("--ckpt_freq", type=int, default=None)
+    parser.add_argument("--sample_freq", type=int, default=None)
+    parser.add_argument("--log_freq", type=int, default=100)
+    parser.add_argument("--ema_max_decay", type=float, default=0.9999)
+    parser.add_argument("--ema_power", type=float, default=0.75)
+    parser.add_argument("--no_antithetic", action="store_true", default=False)
+    parser.add_argument("--keep_all_ckpts", action="store_true", default=False)
+    return parser.parse_args(argv)
+
+
+def main(argv=None):
+    import jax
+    import jax.numpy as jnp
+
+    args = parse_args(argv)
+    cfg = config_for(args.dataset)
+    method_key = "gd" if args.method in ("gd_u", "ga_u") else args.method
+    method_base = {"ga": "ga", "ga_u": "ga"}.get(args.method, method_key)
+
+    training_steps = args.training_steps or cfg.train.training_steps.get(
+        method_base, 1000
+    )
+    batch_size = args.batch_size or cfg.train.batch_size
+    ckpt_freq = args.ckpt_freq or cfg.train.ckpt_freq.get(method_base, 10000)
+
+    model_dir = model_output_dir(
+        args.outdir, args.dataset, args.method, args.removal_dist,
+        args.removal_seed, args.datamodel_alpha if args.removal_dist == "datamodel" else None,
+    )
+    os.makedirs(model_dir, exist_ok=True)
+
+    dataset = create_dataset(args.dataset, train=True)
+    remaining_idx, removed_idx = setup_removal(args, dataset)
+    save_removal_indices(model_dir, remaining_idx, removed_idx)
+    # Gradient ascent unlearns ON the removed subset (reference main.py:298-300).
+    train_idx = removed_idx if args.method in ("ga", "ga_u") else remaining_idx
+    if len(train_idx) == 0:
+        raise SystemExit("empty training subset; nothing to do")
+    subset = dataset.subset(train_idx)
+
+    spec = cfg.unet
+    if args.pruned_model_dir or args.method == "prune_fine_tune":
+        src = args.pruned_model_dir or model_output_dir(
+            args.outdir, args.dataset, "prune", "full"
+        )
+        # Pruned arch travels as spec inside ckpt meta.
+        probe_model = UNet2D(spec)
+        probe = probe_model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, cfg.unet.sample_size, cfg.unet.sample_size, cfg.unet.in_channels)),
+            jnp.zeros((1,), jnp.int32),
+        )["params"]
+        tx_probe = make_optimizer(cfg.train.optimizer.name, lr=1e-4)
+        _, meta = load_checkpoint(src, TrainState.create(probe, tx_probe))
+        loaded_spec = load_unet_spec(meta)
+        if loaded_spec is not None:
+            spec = loaded_spec
+
+    model = UNet2D(spec)
+    x0 = jnp.zeros((1, spec.sample_size, spec.sample_size, spec.in_channels))
+    t0 = jnp.zeros((1,), jnp.int32)
+    params = model.init(jax.random.PRNGKey(args.opt_seed), x0, t0)["params"]
+
+    opt = cfg.train.optimizer
+    tx = make_optimizer(
+        opt.name,
+        lr=args.lr or opt.lr,
+        weight_decay=opt.weight_decay,
+        grad_clip_norm=opt.grad_clip_norm,
+        maximize=args.method in ("ga", "ga_u"),
+    )
+    init_state = TrainState.create(params, tx)
+
+    # Start point: resume > pruned/pretrained load > random init
+    # (reference main.py:334-424).
+    state, meta, resumed = resume_or_init(model_dir, init_state)
+    if not resumed and (args.load or args.pruned_model_dir):
+        src = args.pruned_model_dir or args.load
+        state, meta = load_checkpoint(src, init_state)
+        state = TrainState.create(state.params, tx)  # EMA restarts from loaded params
+        print(f"loaded pretrained params from {src}")
+    start_step = int(np.asarray(state.step))
+    total_steps_time = float(meta.get("total_steps_time", 0.0))
+
+    schedule = make_schedule(cfg.scheduler)
+    step_fn = jax.jit(
+        make_train_step(
+            model.apply, tx, schedule, cfg.scheduler,
+            ema_max_decay=args.ema_max_decay, ema_power=args.ema_power,
+            use_antithetic=not args.no_antithetic,
+        )
+    )
+
+    batches = batch_iterator(subset, min(batch_size, len(subset)), seed=args.opt_seed)
+    t_start = time.time()
+    metrics = {}
+    for step_i in range(start_step, training_steps):
+        images, _ = next(batches)
+        state, metrics = step_fn(
+            state, jnp.asarray(images), jax.random.PRNGKey(args.opt_seed * 1_000_003 + step_i)
+        )
+        if (step_i + 1) % args.log_freq == 0 or step_i + 1 == training_steps:
+            el = time.time() - t_start
+            print(
+                f"Step[{step_i + 1}/{training_steps}] loss={float(metrics['loss']):.5f} "
+                f"grad_norm={float(metrics['grad_norm']):.4f} "
+                f"steps_time={el:.1f}s",
+                flush=True,
+            )
+        if (step_i + 1) % ckpt_freq == 0 or step_i + 1 == training_steps:
+            save_checkpoint(
+                model_dir, step_i + 1, state, remaining_idx, removed_idx,
+                total_steps_time + (time.time() - t_start), unet_spec=spec,
+            )
+    total_steps_time += time.time() - t_start
+
+    db = args.db or os.path.join(args.outdir, f"{args.dataset}_train_db.jsonl")
+    append_record(
+        db,
+        provenance_row(
+            args,
+            loss=float(metrics.get("loss", float("nan"))),
+            remaining_idx=remaining_idx,
+            removed_idx=removed_idx,
+            total_steps_time=total_steps_time,
+            model_dir=model_dir,
+        ),
+    )
+    print(f"done: {model_dir}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,210 @@
+"""Train MANY removal subsets in one compiled program — the SLURM-array killer.
+
+The reference launches one process per removal seed via SLURM job arrays
+(reference text_to_image/experiments/train.job:16-21, run.sh). This CLI
+replaces an entire array: give it a seed range, and the ensemble engine
+trains all subset models simultaneously (vmapped, sharded over the device
+mesh), batch-samples every member with the compiled DDIM sampler, writes one
+checkpoint per member, and appends one JSONL provenance row per member — the
+same rows the LDS tier reads.
+
+Usage (smoke):
+    python -m group_attribution_for_diffusion_models_tpu.cli.train_ensemble \
+        --dataset synthetic_64x8 --removal_dist shapley --seed_start 0 \
+        --num_seeds 8 --training_steps 10 --outdir /tmp/out
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+from ..config import constants
+from ..data import create_dataset, sample_removal
+from ..diffusion import make_schedule
+from ..diffusion.sampling import sample_loop
+from ..models import UNet2D
+from ..parallel import EnsembleTrainer, make_mesh, unstack_state
+from ..training import TrainState, make_optimizer
+from ..utils import append_record, shard_path
+from ..utils.ckpt import load_checkpoint, load_unet_spec, save_checkpoint
+from .common import (
+    add_common_args,
+    config_for,
+    model_output_dir,
+    provenance_row,
+    save_removal_indices,
+)
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    add_common_args(parser)
+    parser.add_argument("--method", type=str, default="retrain",
+                        choices=constants.METHOD)
+    parser.add_argument("--seed_start", type=int, default=0)
+    parser.add_argument("--num_seeds", type=int, default=8)
+    parser.add_argument("--training_steps", type=int, default=None)
+    parser.add_argument("--batch_size", type=int, default=None)
+    parser.add_argument("--lr", type=float, default=None)
+    parser.add_argument("--load", type=str, default=None,
+                        help="shared pretrained/pruned start point (sparse-FT)")
+    parser.add_argument("--n_samples", type=int, default=0,
+                        help="per-member samples to generate after training")
+    parser.add_argument("--mesh_ensemble", type=int, default=None,
+                        help="ensemble-axis size (default: all devices)")
+    parser.add_argument("--mesh_data", type=int, default=1)
+    parser.add_argument("--bf16", action="store_true", default=False)
+    parser.add_argument("--remat", action="store_true", default=False)
+    parser.add_argument("--save_ckpts", action="store_true", default=True)
+    return parser.parse_args(argv)
+
+
+def main(argv=None):
+    import jax
+    import jax.numpy as jnp
+
+    args = parse_args(argv)
+    cfg = config_for(args.dataset)
+    training_steps = args.training_steps or cfg.train.training_steps.get(
+        args.method, 1000
+    )
+    batch_size = args.batch_size or cfg.train.batch_size
+
+    dataset = create_dataset(args.dataset, train=True)
+    seeds = list(range(args.seed_start, args.seed_start + args.num_seeds))
+    target = dataset.labels if args.by_class else len(dataset)
+    removals = [
+        sample_removal(
+            args.removal_dist, target, seed=s, alpha=args.datamodel_alpha,
+            by_class=args.by_class,
+        )
+        for s in seeds
+    ]
+    member_indices = [r[0] for r in removals]
+
+    spec = cfg.unet
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    model = UNet2D(spec, dtype=dtype, remat=args.remat)
+    x0 = jnp.zeros((1, spec.sample_size, spec.sample_size, spec.in_channels))
+    t0j = jnp.zeros((1,), jnp.int32)
+
+    opt = cfg.train.optimizer
+    tx = make_optimizer(
+        opt.name, lr=args.lr or opt.lr, weight_decay=opt.weight_decay,
+        grad_clip_norm=opt.grad_clip_norm,
+        maximize=args.method in ("ga", "ga_u"),
+    )
+
+    import math
+
+    n_dev = len(jax.devices())
+    mesh = None
+    if n_dev > 1:
+        # The ensemble axis must divide the member count; shrink to the gcd
+        # and leave surplus devices unused rather than failing the shard.
+        e_budget = args.mesh_ensemble or (n_dev // args.mesh_data)
+        e_axis = math.gcd(len(seeds), e_budget)
+        if e_axis * args.mesh_data > 1:
+            mesh = make_mesh(
+                (e_axis, args.mesh_data),
+                ("ensemble", "data"),
+                devices=jax.devices()[: e_axis * args.mesh_data],
+            )
+
+    images_u8 = ((dataset.images + 1.0) * 127.5).round().astype(np.uint8)
+    trainer = EnsembleTrainer(
+        apply_fn=model.apply,
+        tx=tx,
+        schedule=make_schedule(cfg.scheduler),
+        spec=cfg.scheduler,
+        images_u8=images_u8,
+        member_indices=member_indices,
+        batch_size=min(batch_size, min(len(m) for m in member_indices)),
+        mesh=mesh,
+    )
+
+    if args.load:
+        probe = model.init(jax.random.PRNGKey(0), x0, t0j)["params"]
+        loaded, meta = load_checkpoint(
+            args.load, TrainState.create(probe, tx)
+        )
+        loaded_spec = load_unet_spec(meta)
+        if loaded_spec is not None and loaded_spec != spec:
+            spec = loaded_spec
+            model = UNet2D(spec, dtype=dtype, remat=args.remat)
+            trainer.apply_fn = model.apply
+        state = trainer.init_state(params=loaded.params)
+        print(f"all members start from {args.load}")
+    else:
+        def init_fn(key):
+            return model.init(key, x0, t0j)["params"]
+
+        state = trainer.init_state(init_fn=init_fn, seed=args.opt_seed)
+
+    t_start = time.time()
+    state, metrics = trainer.run(state, training_steps, seed=args.opt_seed)
+    jax.block_until_ready(state.params)
+    train_time = time.time() - t_start
+    losses = np.asarray(metrics["loss"])
+    print(
+        f"{len(seeds)} members x {training_steps} steps in {train_time:.1f}s "
+        f"({len(seeds) * training_steps / train_time:.1f} member-steps/s); "
+        f"losses {losses.round(4).tolist()}"
+    )
+
+    sample_time = 0.0
+    if args.n_samples > 0:
+        shape = (args.n_samples, spec.sample_size, spec.sample_size, spec.in_channels)
+        schedule = make_schedule(cfg.scheduler)
+
+        @jax.jit
+        def ensemble_sample(stacked_params, key):
+            keys = jax.random.split(key, len(seeds))
+            return jax.vmap(
+                lambda p, k: sample_loop(
+                    model.apply, p, schedule, cfg.scheduler, shape, k,
+                    num_inference_steps=args.num_inference_steps, kind="ddim",
+                )
+            )(stacked_params, keys)
+
+        t_start = time.time()
+        samples = np.asarray(
+            ensemble_sample(state.ema_params, jax.random.PRNGKey(args.opt_seed))
+        )
+        sample_time = time.time() - t_start
+        print(f"sampled {samples.shape} in {sample_time:.1f}s")
+
+    db = args.db or os.path.join(args.outdir, f"{args.dataset}_train_db.jsonl")
+    for m, seed in enumerate(seeds):
+        member_state = jax.tree_util.tree_map(np.asarray, unstack_state(state, m))
+        remaining_idx, removed_idx = removals[m]
+        model_dir = model_output_dir(
+            args.outdir, args.dataset, args.method, args.removal_dist, seed,
+            args.datamodel_alpha if args.removal_dist == "datamodel" else None,
+        )
+        save_removal_indices(model_dir, remaining_idx, removed_idx)
+        if args.save_ckpts:
+            save_checkpoint(
+                model_dir, training_steps, member_state, remaining_idx,
+                removed_idx, train_time / len(seeds), unet_spec=spec,
+            )
+        row = provenance_row(
+            args,
+            removal_seed=seed,
+            loss=float(losses[m]),
+            remaining_idx=remaining_idx,
+            removed_idx=removed_idx,
+            total_steps_time=train_time / len(seeds),
+            sampling_time=sample_time / max(len(seeds), 1),
+            model_dir=model_dir,
+        )
+        append_record(db, row)
+    print(f"{len(seeds)} members -> {db}")
+
+
+if __name__ == "__main__":
+    main()

@@ -75,6 +75,20 @@ class VQVAESpec:
 
 
 @dataclasses.dataclass(frozen=True)
+class KLVAESpec:
+    """AutoencoderKL (SD 1.x VAE): f=8, 4 latent channels, scaling 0.18215."""
+
+    sample_size: int = 256
+    in_channels: int = 3
+    out_channels: int = 3
+    latent_channels: int = 4
+    block_out_channels: Tuple[int, ...] = (128, 256, 512, 512)
+    layers_per_block: int = 2
+    norm_num_groups: int = 32
+    scaling_factor: float = 0.18215
+
+
+@dataclasses.dataclass(frozen=True)
 class SchedulerSpec:
     """Noise-schedule parameters (reference src/ddpm_config.py:83-100,452-461)."""
 
@@ -362,3 +376,42 @@ class LoraTrainSpec:
 
 ARTBENCH_POST_IMPRESSIONISM_LORA = LoraTrainSpec()
 ARTBENCH_NUM_GROUPS = 258  # reference src/ddpm_config.py:700-703
+
+# miniSD (lambdalabs/miniSD-diffusers): SD 1.x U-Net at 256px -> 32x32 latents,
+# CLIP ViT-L/14 text conditioning, DDPM scaled_linear schedule
+# (the reference's text-to-image base model, src/ddpm_config.py:626).
+MINISD_UNET = UNetSpec(
+    sample_size=32,
+    in_channels=4,
+    out_channels=4,
+    block_out_channels=(320, 640, 1280, 1280),
+    down_block_types=(
+        "CrossAttnDownBlock2D",
+        "CrossAttnDownBlock2D",
+        "CrossAttnDownBlock2D",
+        "DownBlock2D",
+    ),
+    up_block_types=(
+        "UpBlock2D",
+        "CrossAttnUpBlock2D",
+        "CrossAttnUpBlock2D",
+        "CrossAttnUpBlock2D",
+    ),
+    attention_head_dim=8,
+    norm_eps=1e-5,
+    downsample_padding=1,
+    flip_sin_to_cos=True,
+    freq_shift=0.0,
+    cross_attention_dim=768,
+)
+
+MINISD_SCHEDULER = SchedulerSpec(
+    kind="ddim",
+    beta_start=0.00085,
+    beta_end=0.012,
+    beta_schedule="scaled_linear",
+    clip_sample=False,
+    steps_offset=1,
+)
+
+MINISD_VAE = KLVAESpec()

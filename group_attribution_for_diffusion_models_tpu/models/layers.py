@@ -79,7 +79,7 @@ class ResnetBlock(nn.Module):
     def __call__(
         self,
         x: jnp.ndarray,
-        temb: jnp.ndarray,
+        temb: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
     ) -> jnp.ndarray:
         hidden_ch = self.hidden_channels or self.out_channels
@@ -87,8 +87,9 @@ class ResnetBlock(nn.Module):
         h = nn.silu(h)
         h = nn.Conv(hidden_ch, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
 
-        t = nn.Dense(hidden_ch, dtype=self.dtype, name="time_emb_proj")(nn.silu(temb))
-        h = h + t[:, None, None, :]
+        if temb is not None:
+            t = nn.Dense(hidden_ch, dtype=self.dtype, name="time_emb_proj")(nn.silu(temb))
+            h = h + t[:, None, None, :]
 
         h = nn.GroupNorm(self.groups, epsilon=self.eps, dtype=jnp.float32, name="norm2")(h)
         h = nn.silu(h)

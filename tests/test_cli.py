@@ -1,0 +1,124 @@
+"""End-to-end CLI pipeline test: train -> prune -> sparse-FT -> local scores
+-> ensemble -> attribute -> lds, all on synthetic data (SURVEY.md §4)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from group_attribution_for_diffusion_models_tpu.utils import read_records
+
+
+@pytest.fixture(scope="module")
+def outdir(tmp_path_factory):
+    return str(tmp_path_factory.mktemp("cli"))
+
+
+DATASET = "synthetic_64x8"
+
+
+def test_full_pipeline(outdir):
+    from group_attribution_for_diffusion_models_tpu.cli import (
+        attribute,
+        calculate_local_scores,
+        lds,
+        main as train_main,
+        prune,
+        train_ensemble,
+    )
+
+    db = os.path.join(outdir, "db.jsonl")
+
+    # 1) full-model training
+    train_main.main([
+        "--dataset", DATASET, "--method", "retrain", "--removal_dist", "full",
+        "--outdir", outdir, "--training_steps", "4", "--db", db, "--log_freq", "2",
+    ])
+    full_dir = os.path.join(outdir, DATASET, "retrain", "models", "full")
+    assert os.path.isdir(full_dir)
+    assert any(n.startswith("ckpt_steps_") for n in os.listdir(full_dir))
+
+    # 2) prune the full model
+    prune.main([
+        "--dataset", DATASET, "--load", full_dir, "--pruning_ratio", "0.4",
+        "--pruner", "magnitude", "--outdir", outdir,
+    ])
+    prune_dir = os.path.join(outdir, DATASET, "prune", "models", "full")
+    assert os.path.isdir(prune_dir)
+
+    # 3) sparse fine-tune on a shapley subset from the pruned model
+    train_main.main([
+        "--dataset", DATASET, "--method", "prune_fine_tune",
+        "--removal_dist", "shapley", "--removal_seed", "0",
+        "--pruned_model_dir", prune_dir,
+        "--outdir", outdir, "--training_steps", "3", "--db", db,
+    ])
+    sft_dir = os.path.join(
+        outdir, DATASET, "prune_fine_tune", "models", "shapley", "shapley_seed=0"
+    )
+    assert os.path.isdir(sft_dir)
+    assert os.path.exists(os.path.join(sft_dir, "remaining_idx.npy"))
+
+    # 4) paired local scores between full and subset model
+    calculate_local_scores.main([
+        "--dataset", DATASET, "--full_model_dir", full_dir,
+        "--removal_model_dir", sft_dir, "--outdir", outdir, "--db", db,
+        "--n_samples", "2", "--n_noises", "1", "--num_inference_steps", "3",
+    ])
+    rows = [r for r in read_records(db) if "avg_ssim" in r]
+    assert rows and 0.0 <= rows[-1]["avg_ssim"] <= 1.0
+
+    # 5) ensemble: 4 shapley subsets at once + 4 datamodel 'test' subsets
+    train_ensemble.main([
+        "--dataset", DATASET, "--removal_dist", "shapley", "--seed_start", "0",
+        "--num_seeds", "4", "--training_steps", "2", "--outdir", outdir,
+        "--db", db, "--batch_size", "8",
+    ])
+    train_ensemble.main([
+        "--dataset", DATASET, "--removal_dist", "datamodel", "--seed_start", "42",
+        "--num_seeds", "4", "--training_steps", "2", "--outdir", outdir,
+        "--db", db, "--batch_size", "8",
+    ])
+    shapley_rows = [
+        r for r in read_records(db)
+        if r.get("removal_dist") == "shapley" and "loss" in r
+    ]
+    assert len(shapley_rows) >= 4
+
+    # 6) closed-form attribution from the behavior DB
+    attrs_path = os.path.join(outdir, "attrs.npy")
+    attribute.main([
+        "--dataset", DATASET, "--attribution_method", "shapley",
+        "--train_db", db, "--model_behavior_key", "loss",
+        "--save_path", attrs_path, "--outdir", outdir,
+    ])
+    attrs = np.load(attrs_path)
+    assert attrs.shape == (64,)
+    assert os.path.exists(os.path.join(outdir, "attrs_ranking.npy"))
+
+    # 7) LDS evaluation against the datamodel rows
+    lds.main([
+        "--dataset", DATASET, "--removal_dist", "shapley", "--train_db", db,
+        "--test_db", db, "--model_behavior_key", "loss", "--outdir", outdir,
+        "--train_size_step", "4",
+    ])
+
+
+def test_trak_feature_store_attribution(outdir, tmp_path):
+    from group_attribution_for_diffusion_models_tpu.cli import attribute
+
+    rng = np.random.RandomState(0)
+    store = str(tmp_path / "feats.npz")
+    np.savez(
+        store,
+        train_features=rng.normal(size=(32, 16)),
+        gen_features=rng.normal(size=(8, 16)),
+        group_labels=np.repeat(np.arange(8), 4),
+    )
+    save = str(tmp_path / "trak_attrs.npy")
+    attribute.main([
+        "--dataset", DATASET, "--attribution_method", "trak",
+        "--train_db", store, "--save_path", save, "--outdir", outdir,
+    ])
+    assert np.load(save).shape == (8,)
