@@ -1,0 +1,123 @@
+"""Compute projected per-sample gradient features (TRAK / D-TRAK inputs).
+
+CLI mirror of reference src/attributions/methods/d_trak_grad.py:229-800 and
+text_to_image/grad_text_to_image_lora.py:255-823, minus their machinery: in
+JAX the per-sample gradient is jax.vmap(jax.grad) (no SDPA deletion needed)
+and the projection is the Pallas JL kernel fused after the gradient — the
+(B, n_params) matrix never materializes beyond one batch tile.
+
+Sources: the training set (--source train) or generated samples
+(--source generated, sampled on the fly). Output: an .npz feature store
+{train_features | gen_features, group_labels} consumed by cli.traks, plus a
+group.csv mapping rows to units (reference grad_text_to_image_lora.py:443-450).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+from ..attributions.methods.trak import OUTPUT_FNS, make_grad_feature_fn
+from ..data import create_dataset
+from ..diffusion import make_schedule
+from ..diffusion.sampling import sample_loop
+from ..models import UNet2D
+from ..training import TrainState, make_optimizer
+from ..utils.ckpt import load_checkpoint, load_unet_spec
+from .common import add_common_args, config_for
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    add_common_args(parser)
+    parser.add_argument("--load", type=str, required=True, help="model dir")
+    parser.add_argument("--source", type=str, default="train",
+                        choices=["train", "generated"])
+    parser.add_argument("--output_fn", type=str, default="loss",
+                        choices=list(OUTPUT_FNS))
+    parser.add_argument("--proj_dim", type=int, default=4096)
+    parser.add_argument("--num_timesteps", type=int, default=10)
+    parser.add_argument("--t_strategy", type=str, default="uniform",
+                        choices=["uniform", "cumulative"])
+    parser.add_argument("--proj_seed", type=int, default=0)
+    parser.add_argument("--batch_size", type=int, default=32)
+    parser.add_argument("--n_samples", type=int, default=64,
+                        help="generated-source sample count")
+    parser.add_argument("--max_examples", type=int, default=None)
+    parser.add_argument("--save_path", type=str, required=True)
+    parser.add_argument("--seed", type=int, default=42)
+    return parser.parse_args(argv)
+
+
+def main(argv=None):
+    import jax
+    import jax.numpy as jnp
+
+    args = parse_args(argv)
+    cfg = config_for(args.dataset)
+    spec = cfg.unet
+    model = UNet2D(spec)
+    x0 = jnp.zeros((1, spec.sample_size, spec.sample_size, spec.in_channels))
+    params0 = model.init(jax.random.PRNGKey(0), x0, jnp.zeros((1,), jnp.int32))["params"]
+    state, meta = load_checkpoint(
+        args.load, TrainState.create(params0, make_optimizer("adam", lr=1e-4))
+    )
+    loaded_spec = load_unet_spec(meta)
+    if loaded_spec is not None and loaded_spec != spec:
+        model = UNet2D(loaded_spec)
+    params = state.params
+
+    schedule = make_schedule(cfg.scheduler)
+    feat_fn = make_grad_feature_fn(
+        model.apply, schedule, cfg.scheduler,
+        output_fn=args.output_fn, proj_dim=args.proj_dim,
+        num_timesteps=args.num_timesteps, t_strategy=args.t_strategy,
+        proj_seed=args.proj_seed,
+    )
+
+    if args.source == "train":
+        dataset = create_dataset(args.dataset, train=True)
+        images = dataset.images
+        labels = dataset.labels
+    else:
+        shape = (args.n_samples, spec.sample_size, spec.sample_size, spec.in_channels)
+
+        @jax.jit
+        def gen(key):
+            return sample_loop(
+                model.apply, state.ema_params, schedule, cfg.scheduler, shape,
+                key, num_inference_steps=args.num_inference_steps, kind="ddim",
+            )
+
+        images = np.asarray(gen(jax.random.PRNGKey(args.seed))) * 2.0 - 1.0
+        labels = np.zeros(len(images), np.int64)
+    if args.max_examples:
+        images, labels = images[: args.max_examples], labels[: args.max_examples]
+
+    feats = []
+    for i in range(0, len(images), args.batch_size):
+        batch = jnp.asarray(images[i : i + args.batch_size])
+        key = jax.random.fold_in(jax.random.PRNGKey(args.seed), i)
+        feats.append(np.asarray(feat_fn(params, batch, key)))
+        print(f"{min(i + args.batch_size, len(images))}/{len(images)} examples", flush=True)
+    feats = np.concatenate(feats)
+
+    os.makedirs(os.path.dirname(os.path.abspath(args.save_path)), exist_ok=True)
+    key_name = "train_features" if args.source == "train" else "gen_features"
+    payload = {key_name: feats, "group_labels": labels}
+    if os.path.exists(args.save_path):
+        # Merge with an existing store (train + generated built separately).
+        old = dict(np.load(args.save_path))
+        old.update(payload)
+        payload = old
+    np.savez(args.save_path, **payload)
+    with open(args.save_path.replace(".npz", "") + "_group.csv", "w") as f:
+        f.write("row,group\n")
+        f.writelines(f"{i},{g}\n" for i, g in enumerate(labels))
+    print(f"{key_name} {feats.shape} -> {args.save_path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -159,7 +159,7 @@ def ddpm_step(
         var = beta_t
     else:
         raise ValueError(f"unknown variance_type {spec.variance_type!r}")
-    var = jnp.clip(var, a_min=1e-20)
+    var = jnp.clip(var, min=1e-20)
 
     nonzero = (t > 0).reshape((-1,) + (1,) * (ndim - 1)).astype(x_t.dtype)
     return mean + nonzero * jnp.sqrt(var) * noise
@@ -198,7 +198,7 @@ def ddim_step(
     var = (1.0 - acp_prev) / (1.0 - acp_t) * (1.0 - acp_t / acp_prev)
     sigma = eta * jnp.sqrt(var)
 
-    dir_xt = jnp.sqrt(jnp.clip(1.0 - acp_prev - sigma**2, a_min=0.0)) * eps
+    dir_xt = jnp.sqrt(jnp.clip(1.0 - acp_prev - sigma**2, min=0.0)) * eps
     x_prev = jnp.sqrt(acp_prev) * x0 + dir_xt
     if eta > 0.0:
         if noise is None:

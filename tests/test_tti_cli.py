@@ -1,0 +1,109 @@
+"""Text-to-image pipeline test: LoRA train -> behaviors -> shapley LDS ->
+convergence -> trak feature store -> traks -> baseline LDS."""
+
+import os
+
+import numpy as np
+import pytest
+
+
+DATASET = "synthetic_64x8"
+
+
+@pytest.fixture(scope="module")
+def outdir(tmp_path_factory):
+    return str(tmp_path_factory.mktemp("tti"))
+
+
+def test_lora_behaviors_lds(outdir):
+    from group_attribution_for_diffusion_models_tpu.cli import (
+        banzhaf_lds,
+        compute_model_behaviors,
+        shapley_convergence,
+        shapley_lds,
+        train_text_to_image_lora,
+    )
+    from group_attribution_for_diffusion_models_tpu.utils import read_records
+
+    db = os.path.join(outdir, "behaviors.jsonl")
+
+    # Train small shapley + uniform + datamodel LoRA ensembles.
+    common = ["--dataset", DATASET, "--outdir", outdir, "--db", db,
+              "--max_train_steps", "2", "--train_batch_size", "8",
+              "--rank", "2", "--log_freq", "2"]
+    train_text_to_image_lora.main(
+        common + ["--removal_dist", "shapley", "--removal_seed", "0", "--num_seeds", "6"]
+    )
+    train_text_to_image_lora.main(
+        common + ["--removal_dist", "uniform", "--removal_seed", "0", "--num_seeds", "4"]
+    )
+    train_text_to_image_lora.main(
+        common + ["--removal_dist", "datamodel", "--removal_seed", "42", "--num_seeds", "4"]
+    )
+    rows = list(read_records(db))
+    assert len(rows) == 14
+    num_groups = len(rows[0]["kept_units"]) and 10  # synthetic has 10 artists
+
+    # Score one subset LoRA against the full reference (here: base model).
+    lora_path = rows[0]["lora_path"]
+    compute_model_behaviors.main([
+        "--dataset", DATASET, "--outdir", outdir, "--db", db,
+        "--lora_dir", lora_path, "--n_samples", "2",
+        "--num_inference_steps", "2", "--n_noises", "1",
+    ])
+    brows = [r for r in read_records(db) if "aesthetic_score_avg" in r]
+    assert brows and "generated_image_0_ssim" in brows[-1]
+
+    # Duplicate guard: second run is a no-op.
+    n_before = len(list(read_records(db)))
+    compute_model_behaviors.main([
+        "--dataset", DATASET, "--outdir", outdir, "--db", db,
+        "--lora_dir", lora_path, "--n_samples", "2",
+        "--num_inference_steps", "2", "--n_noises", "1",
+    ])
+    assert len(list(read_records(db))) == n_before
+
+    # LDS over the 'loss' behavior recorded by the trainer.
+    shapley_lds.main([
+        "--dataset", DATASET, "--train_db", db, "--test_db", db,
+        "--model_behavior_key", "loss", "--num_groups", "10",
+        "--train_size_step", "3", "--save_dir", os.path.join(outdir, "attrs"),
+    ])
+    assert os.path.exists(
+        os.path.join(outdir, "attrs", "attrs_shapley_retrain_loss.npy")
+    )
+    banzhaf_lds.main([
+        "--dataset", DATASET, "--train_db", db, "--test_db", db,
+        "--model_behavior_key", "loss", "--num_groups", "10",
+        "--train_size_step", "4",
+    ])
+    shapley_convergence.main([
+        "--dataset", DATASET, "--train_db", db, "--test_db", db,
+        "--method", "retrain", "--baseline_method", "retrain",
+        "--model_behavior_key", "loss", "--num_groups", "10",
+        "--train_size_step", "6",
+    ])
+
+
+def test_traks_and_baseline_lds(outdir, tmp_path):
+    from group_attribution_for_diffusion_models_tpu.cli import baseline_lds, traks
+
+    rng = np.random.RandomState(0)
+    store = str(tmp_path / "store.npz")
+    np.savez(
+        store,
+        train_features=rng.normal(size=(40, 32)),
+        gen_features=rng.normal(size=(8, 32)),
+        group_labels=np.repeat(np.arange(10), 4),
+    )
+    save_dir = str(tmp_path / "trak_out")
+    traks.main(["--feature_store", store, "--save_dir", save_dir])
+    for m in ("grad_sim", "trak", "relative_if", "renormalized_if"):
+        assert os.path.exists(os.path.join(save_dir, f"attrs_{m}.npy"))
+
+    # Baseline LDS over the saved vectors against the behaviors DB.
+    db = os.path.join(outdir, "behaviors.jsonl")
+    baseline_lds.main([
+        "--attrs", os.path.join(save_dir, "attrs_trak.npy"),
+        "--test_db", db, "--model_behavior_key", "loss", "--num_groups", "10",
+    ])
