@@ -62,7 +62,17 @@ def read_records(db_path: str) -> Iterator[Dict[str, Any]]:
 def filter_records(
     db_path: str, condition: Mapping[str, Any]
 ) -> List[Dict[str, Any]]:
-    """Rows matching every (key, value) in `condition` (reference lds.py:203-266)."""
+    """Rows matching every (key, value) in `condition` (reference lds.py:203-266).
+
+    Uses the native mmap scanner (native/jsonl_scan.cpp) when built — it
+    substring-prefilters rows before any JSON parsing — and falls back to
+    the pure-Python scan otherwise.
+    """
+    from .native_jsonl import filter_records_native
+
+    native = filter_records_native(db_path, condition)
+    if native is not None:
+        return native
     out = []
     for rec in read_records(db_path):
         if all(rec.get(k) == v for k, v in condition.items()):
