@@ -140,6 +140,61 @@ def make_grad_feature_fn(
     return features
 
 
+def make_journey_feature_fn(
+    apply_fn: Callable,
+    schedule: ScheduleState,
+    spec: SchedulerSpec,
+    output_fn: str = "loss",
+    proj_dim: int = 4096,
+    proj_seed: int = 0,
+):
+    """Journey-TRAK features: gradients at latents captured along the actual
+    sampling trajectory (reference d_trak_grad.py:450-494), instead of fresh
+    q-sample noisings. Input: trajectory (T, B, ...) + timesteps (T,) from
+    diffusion.sampling.sample_with_trajectory; output (B, proj_dim)."""
+    f = _output_fn(output_fn)
+
+    def per_sample_grad(params, latent, noise, t):
+        def scalar_out(p):
+            eps = apply_fn({"params": p}, latent[None], t[None])
+            return f(eps[0], noise[0])
+
+        return jax.grad(scalar_out)(params)
+
+    @jax.jit
+    def features(params, trajectory, timesteps, key):
+        t_steps, b = trajectory.shape[0], trajectory.shape[1]
+
+        def for_point(carry, inputs):
+            acc, key = carry
+            latents, t_scalar = inputs
+            key, k_n = jax.random.split(key)
+            noise = jax.random.normal(k_n, latents.shape)
+            t_b = jnp.full((b,), t_scalar, jnp.int32)
+            grads = jax.vmap(per_sample_grad, in_axes=(None, 0, 0, 0))(
+                params, latents, noise, t_b
+            )
+            leaves = jax.tree_util.tree_leaves(grads)
+            flat = jnp.concatenate([l.reshape(b, -1) for l in leaves], axis=1)
+            return (acc + flat, key), None
+
+        shape_probe = jax.eval_shape(
+            lambda: jax.vmap(per_sample_grad, in_axes=(None, 0, 0, 0))(
+                params, trajectory[0], jnp.zeros_like(trajectory[0]),
+                jnp.zeros((b,), jnp.int32),
+            )
+        )
+        dim = sum(
+            int(np.prod(l.shape[1:]))
+            for l in jax.tree_util.tree_leaves(shape_probe)
+        )
+        acc0 = jnp.zeros((b, dim), jnp.float32)
+        (acc, _), _ = jax.lax.scan(for_point, (acc0, key), (trajectory, timesteps))
+        return jl_project(acc / t_steps, proj_dim, seed=proj_seed)
+
+    return features
+
+
 def compute_gradient_scores(
     train_features: np.ndarray,
     gen_features: np.ndarray,

