@@ -74,6 +74,29 @@ def kernel_shap(
     return coef
 
 
+def kernel_shap_ridge(
+    dataset_size: int,
+    x_train: np.ndarray,
+    y_train: np.ndarray,
+    v1: float,
+    v0: float,
+    anchor_weight: float = 1e4,
+    alphas=(1e-20, 2.5e-16, 5e-16, 7.5e-16, 1e-15),
+) -> np.ndarray:
+    """Ridge-regularized weighted KernelSHAP with anchor rows
+    (reference datashapley.py:51-84: RidgeCV over near-zero alphas on the
+    weight-scaled design)."""
+    from .datamodel import ridge_cv
+
+    ones = np.ones((1, dataset_size))
+    zeros = np.zeros((1, dataset_size))
+    x = np.concatenate([np.asarray(x_train, np.float64), ones, zeros], axis=0)
+    y = np.concatenate([np.asarray(y_train, np.float64).ravel(), [v1, v0]])
+    w = np.concatenate([np.ones(len(x_train)), [anchor_weight, anchor_weight]])
+    wx = w[:, None] * x
+    return ridge_cv(wx, y, alphas=list(alphas), cv=min(5, len(y)))
+
+
 def brute_force_shapley(num_players: int, value_fn) -> np.ndarray:
     """Exact Shapley values by full subset enumeration (test oracle only)."""
     from itertools import combinations

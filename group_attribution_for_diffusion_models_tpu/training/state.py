@@ -99,6 +99,12 @@ def make_optimizer(
         parts.append(optax.adam(sched))
     elif name == "adamw":
         parts.append(optax.adamw(sched, weight_decay=weight_decay))
+    elif name == "adafactor":
+        # Memory-reduced optimizer slot: the TPU answer to the reference's
+        # bitsandbytes Adam8bit recipe for 256^2 LDM training (reference
+        # unconditional_generation/main.py:562-588; SURVEY.md §2.6) —
+        # factored second moments instead of int8-quantized full state.
+        parts.append(optax.adafactor(sched))
     else:
         raise ValueError(f"unknown optimizer {name!r}")
     return optax.chain(*parts)

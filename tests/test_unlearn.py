@@ -72,11 +72,11 @@ def test_woodfisher_shrinks_along_gradients():
 def test_influence_unlearn_changes_params():
     model, params, schedule, spec = _setup()
     rng = np.random.RandomState(2)
-    removed = rng.uniform(-1, 1, (8, 8, 8, 3)).astype(np.float32)
-    remaining = rng.uniform(-1, 1, (16, 8, 8, 3)).astype(np.float32)
+    removed = rng.uniform(-1, 1, (4, 8, 8, 3)).astype(np.float32)
+    remaining = rng.uniform(-1, 1, (8, 8, 8, 3)).astype(np.float32)
     new_params = influence_unlearn(
         model.apply, params, schedule, spec, removed, remaining,
-        alpha=1.0, batch_size=8, wf_batches=4,
+        alpha=1.0, batch_size=4, wf_batches=2,
     )
     diffs = [
         float(jnp.abs(a - b).max())
