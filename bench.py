@@ -46,7 +46,9 @@ def main():
     from group_attribution_for_diffusion_models_tpu.training import make_optimizer
 
     cfg = get_config("cifar")
-    model = UNet2D(cfg.unet, dtype=jnp.bfloat16, remat=True)
+    # remat off: the 8x64 config fits HBM without it and runs ~12% faster
+    # (measured on v5e: 220 vs 249 ms/step).
+    model = UNet2D(cfg.unet, dtype=jnp.bfloat16, remat=False)
     spec = cfg.scheduler
     schedule = make_schedule(spec)
 

@@ -111,6 +111,33 @@ def lora_num_params(lora_tree: Mapping) -> int:
     )
 
 
+def save_lora_safetensors(path: str, lora_tree: Mapping) -> None:
+    """Serialize a LoRA tree as safetensors (the reference's LoRA weight
+    format, pytorch_lora_weights.safetensors — reference
+    train_text_to_image_lora.py:1366-1371). Keys: '<layer>::down'/'::up'."""
+    import os
+
+    from safetensors.numpy import save_file
+
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    flat = {
+        f"{name}::{leaf}": np.asarray(v)
+        for name, ab in lora_tree.items()
+        for leaf, v in ab.items()
+    }
+    save_file(flat, path)
+
+
+def load_lora_safetensors(path: str) -> Dict[str, Dict[str, jnp.ndarray]]:
+    from safetensors.numpy import load_file
+
+    tree: Dict[str, Dict[str, jnp.ndarray]] = {}
+    for key, v in load_file(path).items():
+        name, leaf = key.rsplit("::", 1)
+        tree.setdefault(name, {})[leaf] = jnp.asarray(v)
+    return tree
+
+
 def rank_pair_importance(lora_tree: Mapping) -> Dict[str, np.ndarray]:
     """Magnitude importance of each rank-1 (down-col, up-row) pair.
 

@@ -159,6 +159,8 @@ class EnsembleTrainer:
                 )
             return jax.vmap(member_step)(stacked, batch, k_step)
 
+        # Donating the stacked state lets XLA update parameters/opt state in
+        # place instead of double-buffering ~GBs of HBM per step.
         if self.mesh is not None:
             # Shard stacked state and outputs along the ensemble axis; inputs
             # other than the state are replicated. With a >1 data axis each
@@ -169,9 +171,10 @@ class EnsembleTrainer:
                 ensemble_step,
                 in_shardings=(sh, None),
                 out_shardings=(sh, sh),
+                donate_argnums=0,
             )
         else:
-            self._step = jax.jit(ensemble_step)
+            self._step = jax.jit(ensemble_step, donate_argnums=0)
 
     def init_state(self, params=None, init_fn=None, seed: int = 0) -> TrainState:
         keys = jax.random.split(jax.random.PRNGKey(seed), self.num_members)
