@@ -53,6 +53,8 @@ def parse_args(argv=None):
                         help="cached reference stats .pkl (computed if absent)")
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--skip_pr", action="store_true", default=False)
+    parser.add_argument("--per_class", action="store_true", default=False,
+                        help="average FID over class subdirs of --sample_dir")
     return parser.parse_args(argv)
 
 
@@ -69,12 +71,54 @@ def _load_sample_dir(path: str) -> np.ndarray:
     return np.stack(imgs)
 
 
+def _per_class_fid(
+    sample_dir: str, extract, ref_by_class, batch_size: int
+) -> float:
+    """Average FID over class subdirectories (reference
+    calculate_global_scores.py:405-473): sample_dir/<class>/ vs the
+    reference images of that class."""
+    fids = []
+    for cls in sorted(os.listdir(sample_dir)):
+        cls_dir = os.path.join(sample_dir, cls)
+        if not os.path.isdir(cls_dir) or cls not in ref_by_class:
+            continue
+        gen_feats, _ = extract(_load_sample_dir(cls_dir))
+        ref_feats, _ = extract(ref_by_class[cls])
+        fids.append(calculate_fid_from_features(gen_feats, ref_features=ref_feats))
+    if not fids:
+        raise SystemExit(f"no class subdirectories found under {sample_dir}")
+    return float(np.mean(fids))
+
+
 def main(argv=None):
     import jax
     import jax.numpy as jnp
 
     args = parse_args(argv)
     cfg = config_for(args.dataset)
+
+    if args.per_class:
+        if not args.sample_dir:
+            raise SystemExit("--per_class needs --sample_dir with class subdirs")
+        ref = create_dataset(args.dataset, train=True)
+        ref_imgs = ref.images / 2.0 + 0.5
+        if ref_imgs.shape[-1] == 1:
+            ref_imgs = np.repeat(ref_imgs, 3, axis=-1)
+        ref_by_class = {
+            str(c): ref_imgs[ref.labels == c] for c in np.unique(ref.labels)
+        }
+        model_inc, variables = load_inception(args.inception_weights)
+        extract = make_feature_fn(model_inc, variables, batch_size=args.batch_size)
+        t0 = time.time()
+        fid_value = _per_class_fid(
+            args.sample_dir, extract, ref_by_class, args.batch_size
+        )
+        row = provenance_row(args, fid_value=fid_value,
+                             scoring_time=time.time() - t0)
+        db = args.db or os.path.join(args.outdir, f"{args.dataset}_global_db.jsonl")
+        append_record(db, row)
+        print(f"per-class avg fid={fid_value:.3f} -> {db}")
+        return
 
     t0 = time.time()
     if args.sample_dir:

@@ -76,6 +76,28 @@ def main(argv=None):
 
     dataset = create_dataset(args.dataset, train=True)
     seeds = list(range(args.seed_start, args.seed_start + args.num_seeds))
+
+    # Idempotence: members whose final checkpoint already exists are skipped
+    # (the sweep-level recovery contract; reference
+    # train_text_to_image_lora.py:649-657, find_incomplete_trainings.py).
+    def _done(seed: int) -> bool:
+        from ..utils.ckpt import get_max_steps
+
+        d = model_output_dir(
+            args.outdir, args.dataset, args.method, args.removal_dist, seed,
+            args.datamodel_alpha if args.removal_dist == "datamodel" else None,
+        )
+        latest = get_max_steps(d)
+        return latest is not None and latest >= training_steps
+
+    skipped = [s for s in seeds if _done(s)]
+    seeds = [s for s in seeds if s not in skipped]
+    if skipped:
+        print(f"skipping {len(skipped)} already-complete seeds: {skipped}")
+    if not seeds:
+        print("all members already trained; nothing to do")
+        return
+
     target = dataset.labels if args.by_class else len(dataset)
     removals = [
         sample_removal(
