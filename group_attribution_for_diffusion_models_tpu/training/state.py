@@ -105,6 +105,11 @@ def make_optimizer(
         # unconditional_generation/main.py:562-588; SURVEY.md §2.6) —
         # factored second moments instead of int8-quantized full state.
         parts.append(optax.adafactor(sched))
+    elif name == "adam8bit":
+        # Blockwise-int8 moment storage (direct bitsandbytes parity).
+        from .quantized import adam8bit
+
+        parts.append(adam8bit(sched))
     else:
         raise ValueError(f"unknown optimizer {name!r}")
     return optax.chain(*parts)
