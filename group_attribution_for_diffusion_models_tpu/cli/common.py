@@ -35,16 +35,29 @@ def config_for(dataset: str):
 
     if not dataset.startswith("synthetic"):
         return get_config(dataset)
+    from ..config.registry import VQVAESpec
+
     parts = dataset.split("_")
     size = 32
     if len(parts) > 1 and "x" in parts[1]:
         _, size = (int(v) for v in parts[1].split("x"))
+    # "synthetic_<n>x<s>_ldm" exercises the VQ-latent (celeba-style) path.
+    ldm = "ldm" in parts
+    vqvae = (
+        VQVAESpec(
+            sample_size=size, block_out_channels=(8, 16, 16),
+            layers_per_block=1, num_vq_embeddings=32, norm_num_groups=4,
+        )
+        if ldm
+        else None
+    )
+    unet_size = size // 4 if ldm else size
     budgets = {m: 10 for m in ("retrain", "prune_fine_tune", "ga", "gd", "esd")}
     return WorkloadConfig(
         dataset=dataset,
         image_size=size,
         unet=UNetSpec(
-            sample_size=size,
+            sample_size=unet_size,
             block_out_channels=(8, 16),
             down_block_types=("DownBlock2D", "DownBlock2D"),
             up_block_types=("UpBlock2D", "UpBlock2D"),
@@ -60,6 +73,7 @@ def config_for(dataset: str):
             sample_freq={m: 100 for m in budgets},
             n_samples=4,
         ),
+        vqvae=vqvae,
     )
 
 

@@ -63,6 +63,12 @@ def parse_args(argv=None):
     parser.add_argument("--ema_power", type=float, default=0.75)
     parser.add_argument("--no_antithetic", action="store_true", default=False)
     parser.add_argument("--keep_all_ckpts", action="store_true", default=False)
+    parser.add_argument("--precompute_stage", type=str, default="reuse",
+                        choices=["none", "save", "reuse"],
+                        help="VQ-VAE latent precompute mode for LDM datasets "
+                             "(reference main.py:490-546)")
+    parser.add_argument("--vqvae_weights", type=str, default=None,
+                        help="converted VQModel weights (random init without)")
     return parser.parse_args(argv)
 
 
@@ -95,6 +101,38 @@ def main(argv=None):
     if len(train_idx) == 0:
         raise SystemExit("empty training subset; nothing to do")
     subset = dataset.subset(train_idx)
+
+    # LDM workloads (celeba): diffuse in VQ-VAE latent space. The one-time
+    # full-dataset encode caches to precomputed_emb/ keyed by dataset order
+    # (reference main.py:490-546).
+    if cfg.vqvae is not None:
+        from ..models.vqvae import VQVAE, precompute_latents
+
+        vqvae = VQVAE(cfg.vqvae)
+        if args.vqvae_weights:
+            vq_vars = {"params": np.load(args.vqvae_weights, allow_pickle=True).item()}
+        else:
+            import jax.numpy as _jnp
+
+            vq_vars = vqvae.init(
+                jax.random.PRNGKey(7),
+                _jnp.zeros((1, cfg.image_size, cfg.image_size, cfg.vqvae.in_channels)),
+            )
+            print("WARNING: VQ-VAE running random-init (no --vqvae_weights); "
+                  "latents are not reference-comparable")
+        cache = (
+            os.path.join(args.outdir, args.dataset, "precomputed_emb",
+                         "vqvae_latents.npy")
+            if args.precompute_stage in ("save", "reuse")
+            else None
+        )
+        latents = precompute_latents(
+            vqvae, vq_vars, dataset.images, batch_size=32, cache_path=cache
+        )
+        latents = latents * cfg.vqvae.scaling_factor
+        from ..data.datasets import ArrayDataset
+
+        subset = ArrayDataset(latents[train_idx], dataset.labels[train_idx])
 
     spec = cfg.unet
     if args.pruned_model_dir or args.method == "prune_fine_tune":

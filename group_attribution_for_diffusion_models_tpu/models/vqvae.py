@@ -47,9 +47,10 @@ class Encoder(nn.Module):
                     name=f"down_{i}_res_{j}",
                 )(h)
             if i < len(spec.block_out_channels) - 1:
+                # Asymmetric (0,1) pad + VALID stride-2 conv halves exactly.
                 h = jnp.pad(h, ((0, 0), (0, 1), (0, 1), (0, 0)))
-                h = nn.Conv(ch, (3, 3), strides=(2, 2), dtype=self.dtype,
-                            name=f"down_{i}_downsample")(h)
+                h = nn.Conv(ch, (3, 3), strides=(2, 2), padding="VALID",
+                            dtype=self.dtype, name=f"down_{i}_downsample")(h)
         ch = spec.block_out_channels[-1]
         h = ResnetBlock(ch, groups=spec.norm_num_groups, dtype=self.dtype,
                         name="mid_res_0")(h)
