@@ -34,7 +34,7 @@ def parse_args(argv=None):
     add_common_args(parser)
     parser.add_argument("--load", type=str, required=True, help="model dir")
     parser.add_argument("--source", type=str, default="train",
-                        choices=["train", "generated"])
+                        choices=["train", "generated", "generated_journey"])
     parser.add_argument("--output_fn", type=str, default="loss",
                         choices=list(OUTPUT_FNS))
     parser.add_argument("--proj_dim", type=int, default=4096)
@@ -70,6 +70,39 @@ def main(argv=None):
     params = state.params
 
     schedule = make_schedule(cfg.scheduler)
+
+    if args.source == "generated_journey":
+        # Journey TRAK: gradients at the latents actually visited during
+        # sampling (reference d_trak_grad.py:450-494).
+        from ..attributions.methods.trak import make_journey_feature_fn
+        from ..diffusion.sampling import sample_with_trajectory
+
+        shape = (args.n_samples, spec.sample_size, spec.sample_size, spec.in_channels)
+        _, traj, ts = sample_with_trajectory(
+            model.apply, state.ema_params, schedule, cfg.scheduler, shape,
+            jax.random.PRNGKey(args.seed),
+            num_inference_steps=args.num_inference_steps,
+        )
+        journey_fn = make_journey_feature_fn(
+            model.apply, schedule, cfg.scheduler,
+            output_fn=args.output_fn, proj_dim=args.proj_dim,
+            proj_seed=args.proj_seed,
+        )
+        feats = np.asarray(
+            journey_fn(params, traj, ts, jax.random.PRNGKey(args.seed + 1))
+        )
+        os.makedirs(os.path.dirname(os.path.abspath(args.save_path)), exist_ok=True)
+        # group_labels always refers to TRAIN rows (the aggregation axis);
+        # generated-side features never touch it.
+        payload = {"gen_features": feats}
+        if os.path.exists(args.save_path):
+            old = dict(np.load(args.save_path))
+            old.update(payload)
+            payload = old
+        np.savez(args.save_path, **payload)
+        print(f"journey gen_features {feats.shape} -> {args.save_path}")
+        return
+
     feat_fn = make_grad_feature_fn(
         model.apply, schedule, cfg.scheduler,
         output_fn=args.output_fn, proj_dim=args.proj_dim,
@@ -105,8 +138,10 @@ def main(argv=None):
     feats = np.concatenate(feats)
 
     os.makedirs(os.path.dirname(os.path.abspath(args.save_path)), exist_ok=True)
-    key_name = "train_features" if args.source == "train" else "gen_features"
-    payload = {key_name: feats, "group_labels": labels}
+    if args.source == "train":
+        payload = {"train_features": feats, "group_labels": labels}
+    else:
+        payload = {"gen_features": feats}  # labels belong to the train axis
     if os.path.exists(args.save_path):
         # Merge with an existing store (train + generated built separately).
         old = dict(np.load(args.save_path))
@@ -116,7 +151,8 @@ def main(argv=None):
     with open(args.save_path.replace(".npz", "") + "_group.csv", "w") as f:
         f.write("row,group\n")
         f.writelines(f"{i},{g}\n" for i, g in enumerate(labels))
-    print(f"{key_name} {feats.shape} -> {args.save_path}")
+    kind = "train_features" if args.source == "train" else "gen_features"
+    print(f"{kind} {feats.shape} -> {args.save_path}")
 
 
 if __name__ == "__main__":
