@@ -41,8 +41,10 @@ def config_for(dataset: str):
     size = 32
     if len(parts) > 1 and "x" in parts[1]:
         _, size = (int(v) for v in parts[1].split("x"))
-    # "synthetic_<n>x<s>_ldm" exercises the VQ-latent (celeba-style) path.
+    # "synthetic_<n>x<s>_ldm" exercises the VQ-latent (celeba-style) path;
+    # "..._cond" the cross-attention (imagenette-style) path; combinable.
     ldm = "ldm" in parts
+    cond = "cond" in parts
     vqvae = (
         VQVAESpec(
             sample_size=size, block_out_channels=(8, 16, 16),
@@ -59,10 +61,20 @@ def config_for(dataset: str):
         unet=UNetSpec(
             sample_size=unet_size,
             block_out_channels=(8, 16),
-            down_block_types=("DownBlock2D", "DownBlock2D"),
-            up_block_types=("UpBlock2D", "UpBlock2D"),
+            down_block_types=(
+                ("CrossAttnDownBlock2D", "DownBlock2D")
+                if cond
+                else ("DownBlock2D", "DownBlock2D")
+            ),
+            up_block_types=(
+                ("UpBlock2D", "CrossAttnUpBlock2D")
+                if cond
+                else ("UpBlock2D", "UpBlock2D")
+            ),
             layers_per_block=1,
             norm_num_groups=4,
+            attention_head_dim=2 if cond else None,
+            cross_attention_dim=32 if cond else None,
         ),
         scheduler=SchedulerSpec(),
         train=TrainSpec(

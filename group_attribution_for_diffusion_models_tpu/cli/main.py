@@ -155,7 +155,10 @@ def main(argv=None):
     model = UNet2D(spec)
     x0 = jnp.zeros((1, spec.sample_size, spec.sample_size, spec.in_channels))
     t0 = jnp.zeros((1,), jnp.int32)
-    params = model.init(jax.random.PRNGKey(args.opt_seed), x0, t0)["params"]
+    init_args = (x0, t0) + (
+        (jnp.zeros((1, 77, spec.cross_attention_dim)),) if spec.conditional else ()
+    )
+    params = model.init(jax.random.PRNGKey(args.opt_seed), *init_args)["params"]
 
     opt = cfg.train.optimizer
     tx = make_optimizer(
@@ -182,18 +185,49 @@ def main(argv=None):
     step_fn = jax.jit(
         make_train_step(
             model.apply, tx, schedule, cfg.scheduler,
+            conditional=spec.conditional,
             ema_max_decay=args.ema_max_decay, ema_power=args.ema_power,
             use_antithetic=not args.no_antithetic,
         )
     )
 
+    # Conditional workloads (imagenette LDM text-to-image): per-class caption
+    # embeddings via the captioner + CLIP text tower, indexed by batch label
+    # (reference main.py:666-670 captioner/text_encoder path).
+    class_emb = None
+    if spec.conditional:
+        from ..models.clip_text import CLIPTextEncoder, load_tokenizer
+        from ..pipelines import ImagenetteCaptioner
+
+        captioner = ImagenetteCaptioner()
+        width = spec.cross_attention_dim
+        text = CLIPTextEncoder(
+            width=width,
+            layers=12 if width >= 768 else 2,
+            heads=12 if width % 12 == 0 else max(width // 16, 1),
+        )
+        text_params = text.init(
+            jax.random.PRNGKey(11), jnp.zeros((1, 77), jnp.int32)
+        )["params"]
+        tokenize = load_tokenizer()
+        n_cls = max(int(dataset.labels.max()) + 1, 1)
+        prompts = captioner(
+            [i % captioner.num_classes for i in range(n_cls)]
+        )
+        class_emb = jnp.asarray(
+            text.apply({"params": text_params}, jnp.asarray(tokenize(prompts)))
+        )
+
     batches = batch_iterator(subset, min(batch_size, len(subset)), seed=args.opt_seed)
     t_start = time.time()
     metrics = {}
     for step_i in range(start_step, training_steps):
-        images, _ = next(batches)
+        images, labels = next(batches)
+        ehs = class_emb[jnp.asarray(labels)] if class_emb is not None else None
         state, metrics = step_fn(
-            state, jnp.asarray(images), jax.random.PRNGKey(args.opt_seed * 1_000_003 + step_i)
+            state, jnp.asarray(images),
+            jax.random.PRNGKey(args.opt_seed * 1_000_003 + step_i),
+            encoder_hidden_states=ehs,
         )
         if (step_i + 1) % args.log_freq == 0 or step_i + 1 == training_steps:
             el = time.time() - t_start
