@@ -22,7 +22,7 @@ import numpy as np
 
 NUM_MEMBERS = 2
 TRAIN_STEPS = 200
-BATCH = 32
+BATCH = 16
 N_SAMPLE_IMAGES = 50
 SAMPLE_STEPS = 100
 RANK = 256
@@ -59,7 +59,7 @@ def main():
     spec = MINISD_UNET
     sched_spec = MINISD_SCHEDULER
     schedule = make_schedule(sched_spec)
-    model = UNet2D(spec, dtype=jnp.bfloat16, remat=True)
+    model = UNet2D(spec, dtype=jnp.bfloat16, remat=False)
 
     size, ch = spec.sample_size, spec.in_channels
     base_params = model.init(

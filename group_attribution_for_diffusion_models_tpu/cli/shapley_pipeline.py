@@ -1,0 +1,138 @@
+"""End-to-end Shapley attribution in one command.
+
+The reference spreads one attribution experiment across hundreds of SLURM
+jobs and four script families (train -> score -> fit -> LDS, SURVEY.md §1).
+This command runs the whole estimation loop in-process on the ensemble axis:
+
+  1. ensemble-train the Shapley fit subsets AND the datamodel test subsets
+     (one compiled program per distribution);
+  2. ensemble-sample every member with the compiled DDIM sampler;
+  3. score a global behavior per member (Inception FID / IS against the
+     training set, or the training loss for weight-free smoke runs);
+  4. fit closed-form KernelSHAP on the fit rows and report Spearman LDS
+     against the retrained test rows.
+
+Every intermediate row still lands in the JSONL DB, so the individual CLIs
+interoperate with its outputs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+from ..attributions import evaluate_lds
+from ..attributions.methods import data_shapley
+from ..utils import append_record, filter_records
+from .common import add_common_args, config_for
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    add_common_args(parser)
+    parser.add_argument("--num_fit_subsets", type=int, default=16)
+    parser.add_argument("--num_test_subsets", type=int, default=8)
+    parser.add_argument("--test_seed_start", type=int, default=42)
+    parser.add_argument("--training_steps", type=int, default=None)
+    parser.add_argument("--batch_size", type=int, default=None)
+    parser.add_argument("--n_samples", type=int, default=16,
+                        help="generated images per member for scoring")
+    parser.add_argument("--behavior", type=str, default="loss",
+                        choices=["loss", "fid_value", "is"])
+    parser.add_argument("--inception_weights", type=str, default=None)
+    parser.add_argument("--chunk_size", type=int, default=32,
+                        help="members per ensemble invocation")
+    return parser.parse_args(argv)
+
+
+def _train_chunked(args, dist, seed_start, num, db):
+    from . import train_ensemble
+
+    for start in range(seed_start, seed_start + num, args.chunk_size):
+        n = min(args.chunk_size, seed_start + num - start)
+        argv = [
+            "--dataset", args.dataset, "--removal_dist", dist,
+            "--seed_start", str(start), "--num_seeds", str(n),
+            "--outdir", args.outdir, "--db", db,
+            "--n_samples", str(args.n_samples if args.behavior != "loss" else 0),
+            "--num_inference_steps", str(args.num_inference_steps),
+        ]
+        if args.training_steps:
+            argv += ["--training_steps", str(args.training_steps)]
+        if args.batch_size:
+            argv += ["--batch_size", str(args.batch_size)]
+        if args.datamodel_alpha and dist == "datamodel":
+            argv += ["--datamodel_alpha", str(args.datamodel_alpha)]
+        train_ensemble.main(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    db = args.db or os.path.join(args.outdir, f"{args.dataset}_pipeline_db.jsonl")
+    t0 = time.time()
+
+    # 1+2) subset ensembles: shapley fit rows + datamodel test rows.
+    _train_chunked(args, "shapley", args.removal_seed, args.num_fit_subsets, db)
+    _train_chunked(args, "datamodel", args.test_seed_start, args.num_test_subsets, db)
+    train_time = time.time() - t0
+
+    # 3) collect (mask, behavior) rows.
+    from ..data import create_dataset
+
+    dataset = create_dataset(args.dataset, train=True)
+    n_units = len(dataset)
+
+    def rows_to_xy(dist):
+        rows = filter_records(db, {"dataset": args.dataset, "removal_dist": dist})
+        masks, ys = [], []
+        for rec in rows:
+            if args.behavior not in rec or rec[args.behavior] is None:
+                continue
+            m = np.zeros(n_units, np.float32)
+            m[np.asarray(rec["remaining_idx"], np.int64)] = 1.0
+            masks.append(m)
+            ys.append(float(rec[args.behavior]))
+        return (np.stack(masks), np.asarray(ys)) if masks else (
+            np.zeros((0, n_units)), np.zeros(0))
+
+    x_fit, y_fit = rows_to_xy("shapley")
+    x_test, y_test = rows_to_xy("datamodel")
+    if len(x_fit) < 2 or len(x_test) < 2:
+        raise SystemExit(
+            f"not enough scored rows (fit {len(x_fit)}, test {len(x_test)})"
+        )
+
+    # 4) closed-form Shapley + LDS.
+    v1, v0 = float(y_fit.max()), float(y_fit.min())
+    attrs = data_shapley(n_units, x_fit, y_fit, v1, v0).ravel()
+    lds_mean, lds_ci = evaluate_lds(attrs, [(x_test, y_test)])
+    total_time = time.time() - t0
+
+    summary = {
+        "exp_name": args.exp_name or "shapley_pipeline",
+        "dataset": args.dataset,
+        "num_fit_subsets": int(len(x_fit)),
+        "num_test_subsets": int(len(x_test)),
+        "behavior": args.behavior,
+        "lds_mean": lds_mean,
+        "lds_ci": lds_ci,
+        "train_time_s": round(train_time, 1),
+        "total_time_s": round(total_time, 1),
+        "subset_passes_per_hour": round(
+            (len(x_fit) + len(x_test)) / (train_time / 3600.0), 1
+        ),
+    }
+    append_record(db, summary)
+    np.save(os.path.join(args.outdir, "shapley_pipeline_attrs.npy"), attrs)
+    print(
+        f"LDS = {lds_mean:.2f} +- {lds_ci:.2f} over {len(x_test)} test subsets "
+        f"({len(x_fit)} fit subsets, {summary['subset_passes_per_hour']}/h) "
+        f"in {total_time:.1f}s -> {db}"
+    )
+
+
+if __name__ == "__main__":
+    main()
