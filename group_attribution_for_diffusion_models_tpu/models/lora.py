@@ -111,6 +111,37 @@ def lora_num_params(lora_tree: Mapping) -> int:
     )
 
 
+def lora_plus_optimizer(
+    lr: float,
+    plus_ratio: float = 16.0,
+    weight_decay: float = 0.0,
+    lr_schedule: str = "constant",
+    total_steps: int = 0,
+):
+    """LoRA+ optimizer: the up (B) matrices train at plus_ratio x the down
+    (A) matrices' learning rate (Hayou et al. 2024), as the reference's LoRA
+    unlearning path configures (reference unconditional_generation/
+    unlearn.py:404-424). Returns an optax transformation over a LoRA tree.
+    """
+    import optax
+
+    def make(lr_value):
+        if lr_schedule == "cosine":
+            sched = optax.cosine_decay_schedule(lr_value, max(total_steps, 1))
+        else:
+            sched = optax.constant_schedule(lr_value)
+        return optax.adamw(sched, weight_decay=weight_decay)
+
+    def label_fn(tree):
+        return {
+            name: {"down": "down", "up": "up"} for name in tree
+        }
+
+    return optax.multi_transform(
+        {"down": make(lr), "up": make(lr * plus_ratio)}, label_fn
+    )
+
+
 def save_lora_safetensors(path: str, lora_tree: Mapping) -> None:
     """Serialize a LoRA tree as safetensors (the reference's LoRA weight
     format, pytorch_lora_weights.safetensors — reference
