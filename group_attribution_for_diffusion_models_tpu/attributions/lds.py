@@ -95,6 +95,52 @@ def collect_data(
     return np.stack(masks), np.asarray(behaviors), seeds
 
 
+def collect_local_data(
+    db_path: str,
+    condition: Mapping,
+    num_units: int,
+    behavior_key: str,
+    n_samples: int,
+    by_class: bool = False,
+    labels: Optional[np.ndarray] = None,
+) -> Tuple[np.ndarray, np.ndarray, List[int]]:
+    """(masks, behaviors (n_rows, n_samples), seeds) for per-image local
+    behaviors: columns are ``generated_image_{i}_{behavior_key}``
+    (reference lds.py local-behavior mode, keyed per generated image).
+    """
+    rows = filter_records(db_path, condition)
+    masks, behaviors, seeds = [], [], []
+    keys = [f"generated_image_{i}_{behavior_key}" for i in range(n_samples)]
+    for rec in rows:
+        if any(k not in rec or rec[k] is None for k in keys):
+            continue
+        remaining = rec.get("remaining_idx")
+        if remaining is None:
+            remaining, _ = sample_removal(
+                rec["removal_dist"],
+                num_units if labels is None else labels,
+                seed=int(rec["removal_seed"]),
+                alpha=float(rec.get("datamodel_alpha", 0.5)),
+                by_class=by_class and labels is not None,
+            )
+        mask = np.zeros(num_units, dtype=np.float32)
+        remaining = np.asarray(remaining, dtype=np.int64)
+        if by_class and labels is not None:
+            mask[np.unique(np.asarray(labels)[remaining])] = 1.0
+        else:
+            mask[remaining] = 1.0
+        masks.append(mask)
+        behaviors.append([float(rec[k]) for k in keys])
+        seeds.append(int(rec.get("removal_seed", -1)))
+    if not masks:
+        return (
+            np.zeros((0, num_units), np.float32),
+            np.zeros((0, n_samples), np.float64),
+            [],
+        )
+    return np.stack(masks), np.asarray(behaviors), seeds
+
+
 def bootstrap_lds_ci(
     attrs: np.ndarray,
     x_test: np.ndarray,

@@ -17,6 +17,7 @@ import os
 import numpy as np
 
 from ..attributions import bootstrap_lds_ci, collect_data, evaluate_lds
+from ..attributions.lds import collect_local_data
 from ..attributions.methods import data_banzhaf, data_shapley, datamodel
 from ..data import create_dataset
 from .common import add_common_args
@@ -38,6 +39,10 @@ def parse_args(argv=None):
     )
     parser.add_argument("--num_units", type=int, default=None,
                         help="mask dimension (default: dataset size)")
+    parser.add_argument("--n_samples", type=int, default=None,
+                        help="per-image local-behavior mode: use "
+                             "generated_image_{i}_<key> columns as separate "
+                             "behaviors (reference lds.py local mode)")
     parser.add_argument("--max_train_size", type=int, default=None)
     parser.add_argument("--train_size_step", type=int, default=100)
     parser.add_argument("--v1", type=float, default=None,
@@ -98,13 +103,25 @@ def main(argv=None):
             "removal_dist": args.removal_dist}
     if args.exp_name:
         cond["exp_name"] = args.exp_name
-    masks, behaviors, _ = collect_data(
-        args.train_db, cond, num_units, args.model_behavior_key,
-        by_class=args.by_class, labels=labels,
-    )
+
+    def collect(db, c):
+        if args.n_samples:
+            return collect_local_data(
+                db, c, num_units, args.model_behavior_key, args.n_samples,
+                by_class=args.by_class, labels=labels,
+            )
+        m, y, s = collect_data(
+            db, c, num_units, args.model_behavior_key,
+            by_class=args.by_class, labels=labels,
+        )
+        return m, y.reshape(-1, 1), s
+
+    masks, behaviors, _ = collect(args.train_db, cond)
     if len(masks) == 0:
         raise SystemExit(f"no rows matched {cond} in {args.train_db}")
-    print(f"{len(masks)} fit subsets from {args.train_db}")
+    num_behaviors = behaviors.shape[1]
+    print(f"{len(masks)} fit subsets x {num_behaviors} behaviors "
+          f"from {args.train_db}")
 
     test_cond = {"dataset": args.dataset, "removal_dist": "datamodel",
                  "method": "retrain"}
@@ -112,10 +129,7 @@ def main(argv=None):
         test_cond["exp_name"] = args.test_exp_name
     test_data = []
     for db in args.test_db:
-        x, y, _ = collect_data(
-            db, test_cond, num_units, args.model_behavior_key,
-            by_class=args.by_class, labels=labels,
-        )
+        x, y, _ = collect(db, test_cond)
         if len(x):
             test_data.append((x, y))
     if not test_data:
@@ -126,17 +140,22 @@ def main(argv=None):
     if not sizes or sizes[-1] != max_n:
         sizes.append(max_n)
     for n in sizes:
-        attrs = fit_attribution(
-            args.removal_dist, masks[:n], behaviors[:n], num_units,
-            v1=args.v1, v0=args.v0, num_runs=args.num_runs,
+        attrs_all = np.stack([
+            fit_attribution(
+                args.removal_dist, masks[:n], behaviors[:n, k], num_units,
+                v1=args.v1, v0=args.v0, num_runs=args.num_runs,
+            )
+            for k in range(num_behaviors)
+        ])
+        lds_mean, lds_ci = evaluate_lds(
+            attrs_all, test_data, num_model_behaviors=num_behaviors
         )
-        lds_mean, lds_ci = evaluate_lds(attrs, test_data)
         line = f"train_size={n} LDS={lds_mean:.2f} +- {lds_ci:.2f}"
-        if args.bootstrapped:
+        if args.bootstrapped and num_behaviors == 1:
             x_all = np.concatenate([x for x, _ in test_data])
-            y_all = np.concatenate([y for _, y in test_data])
+            y_all = np.concatenate([y[:, 0] for _, y in test_data])
             bmean, blo, bhi = bootstrap_lds_ci(
-                attrs, x_all, y_all, args.num_bootstrap_iters
+                attrs_all[0], x_all, y_all, args.num_bootstrap_iters
             )
             line += f" bootstrap=[{blo:.2f}, {bhi:.2f}]"
         print(line, flush=True)
