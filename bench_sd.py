@@ -15,14 +15,15 @@ of the 860M-param vmapped program through this image's remote-compile relay
 can take tens of minutes.
 """
 
+import functools
 import json
 import time
 
 import numpy as np
 
-NUM_MEMBERS = 2
+NUM_MEMBERS = 4
 TRAIN_STEPS = 200
-BATCH = 16
+BATCH = 64
 N_SAMPLE_IMAGES = 50
 SAMPLE_STEPS = 100
 RANK = 256
@@ -59,7 +60,7 @@ def main():
     spec = MINISD_UNET
     sched_spec = MINISD_SCHEDULER
     schedule = make_schedule(sched_spec)
-    model = UNet2D(spec, dtype=jnp.bfloat16, remat=False)
+    model = UNet2D(spec, dtype=jnp.bfloat16, remat=True)
 
     size, ch = spec.sample_size, spec.in_channels
     base_params = model.init(
@@ -94,17 +95,19 @@ def main():
     tx = make_optimizer("adamw", lr=3e-4, lr_schedule="cosine",
                         total_steps=TRAIN_STEPS)
     opt_state = jax.vmap(tx.init)(stacked)
-    ehs_b = jnp.broadcast_to(ehs, (BATCH,) + ehs.shape[1:])
 
-    def member_step(lora, opt_st, table_row, msize, key):
+    # base/latents/ehs enter as jit ARGUMENTS: closure-captured arrays embed
+    # as constants in the serialized HLO and blow the compile-service payload
+    # (the 860M base alone is 1.7 GB of constants).
+    def member_step(base, lat_all, ehs_b, lora, opt_st, table_row, msize, key):
         k_idx, k_t, k_n = jax.random.split(key, 3)
         slot = jax.random.randint(k_idx, (BATCH,), 0, msize)
-        lat = latents[table_row[slot]]
+        lat = lat_all[table_row[slot]]
         t = jax.random.randint(k_t, (BATCH,), 0, sched_spec.num_train_timesteps)
         noise = jax.random.normal(k_n, lat.shape)
 
         def loss_fn(lo):
-            merged = lora_merge(base_params, lo)
+            merged = lora_merge(base, lo)
             x_t = add_noise(schedule, lat, noise, t)
             eps = model.apply({"params": merged}, x_t, t, ehs_b)
             return jnp.mean((eps - noise) ** 2)
@@ -113,20 +116,23 @@ def main():
         updates, opt_st = tx.update(grads, opt_st, lora)
         return optax.apply_updates(lora, updates), opt_st, loss
 
-    @jax.jit
-    def ensemble_step(stacked, opt_state, key):
+    @functools.partial(jax.jit, donate_argnums=(3, 4))
+    def ensemble_step(base, lat_all, ehs_one, stacked, opt_state, key):
         keys = jax.random.split(key, NUM_MEMBERS)
-        return jax.vmap(member_step)(stacked, opt_state, table_j, sizes_j, keys)
+        ehs_b = jnp.broadcast_to(ehs_one, (BATCH,) + ehs_one.shape[1:])
+        return jax.vmap(
+            member_step, in_axes=(None, None, None, 0, 0, 0, 0, 0)
+        )(base, lat_all, ehs_b, stacked, opt_state, table_j, sizes_j, keys)
 
     sample_shape = (N_SAMPLE_IMAGES, size, size, ch)
-    ehs_s = jnp.broadcast_to(ehs, (N_SAMPLE_IMAGES,) + ehs.shape[1:])
 
     @jax.jit
-    def ensemble_sample(stacked, key):
+    def ensemble_sample(base, ehs_one, stacked, key):
         keys = jax.random.split(key, NUM_MEMBERS)
+        ehs_s = jnp.broadcast_to(ehs_one, (N_SAMPLE_IMAGES,) + ehs_one.shape[1:])
         return jax.vmap(
             lambda lo, k: sample_loop(
-                model.apply, lora_merge(base_params, lo), schedule, sched_spec,
+                model.apply, lora_merge(base, lo), schedule, sched_spec,
                 sample_shape, k, num_inference_steps=SAMPLE_STEPS, kind="ddim",
                 encoder_hidden_states=ehs_s,
             )
@@ -134,23 +140,25 @@ def main():
 
     print(f"# unet params: {n_params/1e6:.0f}M; lora params/member: {n_lora/1e6:.1f}M",
           flush=True)
-    stacked, opt_state, _ = ensemble_step(stacked, opt_state, jax.random.PRNGKey(-1))
+    stacked, opt_state, _ = ensemble_step(
+        base_params, latents, ehs, stacked, opt_state, jax.random.PRNGKey(-1)
+    )
     jax.block_until_ready(stacked)
     print("# train step compiled", flush=True)
-    imgs = ensemble_sample(stacked, jax.random.PRNGKey(-2))
+    imgs = ensemble_sample(base_params, ehs, stacked, jax.random.PRNGKey(-2))
     jax.block_until_ready(imgs)
     print("# sampler compiled", flush=True)
 
     t0 = time.time()
     for i in range(TRAIN_STEPS):
         stacked, opt_state, loss = ensemble_step(
-            stacked, opt_state, jax.random.PRNGKey(i)
+            base_params, latents, ehs, stacked, opt_state, jax.random.PRNGKey(i)
         )
     jax.block_until_ready(stacked)
     train_s = time.time() - t0
 
     t0 = time.time()
-    imgs = ensemble_sample(stacked, jax.random.PRNGKey(777))
+    imgs = ensemble_sample(base_params, ehs, stacked, jax.random.PRNGKey(777))
     jax.block_until_ready(imgs)
     sample_s = time.time() - t0
 

@@ -138,7 +138,16 @@ class EnsembleTrainer:
             and self.mesh.shape["data"] > 1
         )
 
-        def ensemble_step(stacked: TrainState, key: jax.Array):
+        # Data tables enter as jit ARGUMENTS, not closure constants: captured
+        # arrays are serialized into the HLO (huge compile payloads and
+        # recompiles when they change).
+        def ensemble_step(
+            stacked: TrainState,
+            key: jax.Array,
+            images: jnp.ndarray,
+            table: jnp.ndarray,
+            sizes: jnp.ndarray,
+        ):
             keys = jax.random.split(key, self.num_members)
             member_keys = jax.vmap(jax.random.split)(keys)
             k_idx, k_step = member_keys[:, 0], member_keys[:, 1]
@@ -146,9 +155,9 @@ class EnsembleTrainer:
             # true subset via the cyclic-padded table).
             slot = jax.vmap(
                 lambda k, size: jax.random.randint(k, (self.batch_size,), 0, size)
-            )(k_idx, self._sizes)
-            idx = jnp.take_along_axis(self._table, slot, axis=1)
-            batch = self._images[idx]  # (B, batch, H, W, C)
+            )(k_idx, sizes)
+            idx = jnp.take_along_axis(table, slot, axis=1)
+            batch = images[idx]  # (B, batch, H, W, C)
             if batch.dtype == jnp.uint8:
                 batch = batch.astype(jnp.float32) / 127.5 - 1.0
             if has_data_axis:
@@ -169,7 +178,7 @@ class EnsembleTrainer:
             sh = ensemble_sharding(self.mesh)
             self._step = jax.jit(
                 ensemble_step,
-                in_shardings=(sh, None),
+                in_shardings=(sh, None, None, None, None),
                 out_shardings=(sh, sh),
                 donate_argnums=0,
             )
@@ -188,7 +197,7 @@ class EnsembleTrainer:
 
     def step(self, stacked: TrainState, key: jax.Array):
         """One parallel step for all members: (state, metrics) with leading B."""
-        return self._step(stacked, key)
+        return self._step(stacked, key, self._images, self._table, self._sizes)
 
     def run(self, stacked: TrainState, num_steps: int, seed: int = 0):
         """Drive num_steps ensemble steps; returns (state, last_metrics)."""
