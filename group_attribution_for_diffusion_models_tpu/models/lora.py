@@ -86,12 +86,18 @@ def lora_init(
 
 
 def lora_merge(params, lora_tree: Mapping, scale: float = 1.0):
-    """params + scale * down@up on each targeted kernel (pure)."""
+    """params + scale * down@up on each targeted kernel (pure).
+
+    The delta is cast to the base kernel's dtype before the add: with a bf16
+    base, a fp32 delta would silently upcast every merged kernel (an extra
+    full parameter copy in HBM per ensemble member). The cast is
+    differentiable, so LoRA gradients still flow in fp32.
+    """
     new = params
     for name, ab in lora_tree.items():
         path = tuple(name.split("/"))
         leaf = _get(params, path)
-        delta = ab["down"] @ ab["up"]
+        delta = (ab["down"] @ ab["up"]).astype(leaf["kernel"].dtype)
         new_leaf = dict(leaf)
         new_leaf["kernel"] = leaf["kernel"] + scale * delta
         new = _set(new, path, new_leaf)
