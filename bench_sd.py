@@ -21,7 +21,7 @@ import time
 
 import numpy as np
 
-NUM_MEMBERS = 2
+NUM_MEMBERS = 1
 TRAIN_STEPS = 200
 BATCH = 64
 N_SAMPLE_IMAGES = 50

@@ -253,17 +253,20 @@ def main(argv=None):
         acp = np.asarray(schedule.alphas_cumprod)
         snr = jnp.asarray(acp / (1.0 - acp))
 
-    def member_step(lora, opt_st, table_row, size, key):
+    # Base params / latents / embeddings enter as jit ARGUMENTS — closure
+    # capture would embed them as constants in the compile payload (1.7 GB
+    # for the real miniSD base).
+    def member_step(base, lat_all, emb_all, emb_idx, lora, opt_st, table_row, size, key):
         k_idx, k_t, k_n = jax.random.split(key, 3)
         slot = jax.random.randint(k_idx, (batch,), 0, size)
         idx = table_row[slot]
-        lat = latents_j[idx]
-        ehs = unit_emb_j[img_emb_idx_j[idx]]
+        lat = lat_all[idx]
+        ehs = emb_all[emb_idx[idx]]
         t = jax.random.randint(k_t, (batch,), 0, sched_spec.num_train_timesteps)
         noise = jax.random.normal(k_n, lat.shape)
 
         def loss_fn(lo):
-            merged = lora_merge(base_params, lo)
+            merged = lora_merge(base, lo)
             from ..diffusion.schedulers import add_noise
 
             x_t = add_noise(schedule, lat, noise, t)
@@ -281,15 +284,20 @@ def main(argv=None):
         lora = _optax.apply_updates(lora, updates)
         return lora, opt_st, loss
 
-    @jax.jit
-    def ensemble_step(stacked, opt_st, key):
+    import functools
+
+    @functools.partial(jax.jit, donate_argnums=(4, 5))
+    def ensemble_step(base, lat_all, emb_all, emb_idx, stacked, opt_st, key):
         keys = jax.random.split(key, len(seeds))
-        return jax.vmap(member_step)(stacked, opt_st, table_j, sizes_j, keys)
+        return jax.vmap(
+            member_step, in_axes=(None, None, None, None, 0, 0, 0, 0, 0)
+        )(base, lat_all, emb_all, emb_idx, stacked, opt_st, table_j, sizes_j, keys)
 
     t_start = time.time()
     time_rows = []
     for step_i in range(total_steps):
         stacked_lora, opt_state, losses = ensemble_step(
+            base_params, latents_j, unit_emb_j, img_emb_idx_j,
             stacked_lora, opt_state, jax.random.PRNGKey(args.opt_seed * 7 + step_i)
         )
         if (step_i + 1) % args.log_freq == 0 or step_i + 1 == total_steps:
