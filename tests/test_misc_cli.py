@@ -1,0 +1,101 @@
+"""Coverage for the remaining CLI surfaces: evaluate_fid, similarity
+baselines, runtime report, empirical verification, experiments."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from group_attribution_for_diffusion_models_tpu.utils import append_record
+
+
+def _write_images(path, n, seed, size=8):
+    os.makedirs(path, exist_ok=True)
+    rng = np.random.RandomState(seed)
+    for i in range(n):
+        Image.fromarray(
+            rng.randint(0, 255, (size, size, 3), dtype=np.uint8)
+        ).save(os.path.join(path, f"img_{i:03d}.png"))
+
+
+def test_evaluate_fid_dirs(tmp_path):
+    from group_attribution_for_diffusion_models_tpu.cli import evaluate_fid
+
+    gen, ref = str(tmp_path / "gen"), str(tmp_path / "ref")
+    _write_images(gen, 6, seed=0)
+    _write_images(ref, 6, seed=1)
+    db = str(tmp_path / "db.jsonl")
+    evaluate_fid.main([
+        "--generated_dir", gen, "--reference_dir", ref, "--db", db,
+        "--batch_size", "4",
+    ])
+    from group_attribution_for_diffusion_models_tpu.utils import read_records
+
+    rows = list(read_records(db))
+    assert len(rows) == 1 and np.isfinite(rows[0]["fid_value"])
+
+
+def test_similarity_baseline_pixel(tmp_path):
+    from group_attribution_for_diffusion_models_tpu.cli import similarity_baselines
+
+    gen = str(tmp_path / "gen")
+    _write_images(gen, 4, seed=2)
+    save = str(tmp_path / "pix.npy")
+    similarity_baselines.main([
+        "--dataset", "synthetic_64x8", "--baseline", "pixel",
+        "--generated_dir", gen, "--save_path", save,
+    ])
+    attrs = np.load(save)
+    assert attrs.shape == (10,)  # synthetic has 10 groups
+    assert os.path.exists(str(tmp_path / "pix_ranking.npy"))
+
+
+def test_runtime_report_and_verification(tmp_path, capsys):
+    from group_attribution_for_diffusion_models_tpu.cli import (
+        empirical_verification,
+        runtime_report,
+    )
+
+    db = str(tmp_path / "db.jsonl")
+    rng = np.random.RandomState(0)
+    for s in range(8):
+        v = float(rng.rand())
+        append_record(db, {"method": "retrain", "removal_dist": "shapley",
+                           "removal_seed": s, "fid_value": v,
+                           "total_steps_time": 50.0, "sampling_time": 5.0})
+        append_record(db, {"method": "gd", "removal_dist": "shapley",
+                           "removal_seed": s, "fid_value": v + 0.01,
+                           "total_steps_time": 5.0, "sampling_time": 5.0})
+    runtime_report.main(["--db", db])
+    out = capsys.readouterr().out
+    assert "speedup_vs_retrain" in out
+    empirical_verification.main([
+        "--db", db, "--method", "gd", "--model_behavior_key", "fid_value",
+    ])
+    out = capsys.readouterr().out
+    assert "pearson=" in out and "spearman=" in out
+
+
+def test_experiments_generation(tmp_path):
+    from group_attribution_for_diffusion_models_tpu.cli import experiments
+
+    cf = str(tmp_path / "cmd.txt")
+    experiments.main([
+        "gen-commands", "--dataset", "synthetic_64x8",
+        "--removal_dist", "shapley", "--num_seeds", "10", "--chunk_size", "4",
+        "--outdir", str(tmp_path), "--db", str(tmp_path / "db.jsonl"),
+        "--command_file", cf,
+    ])
+    lines = [l for l in open(cf).read().splitlines() if l]
+    assert len(lines) == 3  # ceil(10/4) ensemble invocations
+    assert all("train_ensemble" in l for l in lines)
+
+    retry = str(tmp_path / "retry.txt")
+    experiments.main([
+        "find-incomplete", "--dataset", "synthetic_64x8",
+        "--removal_dist", "shapley", "--num_seeds", "3",
+        "--outdir", str(tmp_path), "--db", str(tmp_path / "db.jsonl"),
+        "--command_file", retry,
+    ])
+    assert len(open(retry).read().splitlines()) == 3
