@@ -21,9 +21,9 @@ import time
 
 import numpy as np
 
-NUM_MEMBERS = 2
+NUM_MEMBERS = 4
 TRAIN_STEPS = 200
-BATCH = 32
+BATCH = 16
 N_SAMPLE_IMAGES = 50
 SAMPLE_STEPS = 100
 RANK = 256

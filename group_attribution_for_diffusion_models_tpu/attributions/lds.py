@@ -15,7 +15,7 @@ optionally collapsed to class granularity.
 
 from __future__ import annotations
 
-from typing import Dict, List, Mapping, Optional, Sequence, Tuple
+from typing import List, Mapping, Optional, Sequence, Tuple
 
 import numpy as np
 from scipy.stats import spearmanr

@@ -10,7 +10,7 @@ global numpy RNG).
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Sequence
 
 import numpy as np
 

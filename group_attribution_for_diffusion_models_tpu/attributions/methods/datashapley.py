@@ -14,10 +14,7 @@ batch into one device einsum instead of a python loop.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import numpy as np
-
 
 def data_shapley(
     dataset_size: int,
@@ -43,7 +40,6 @@ def data_shapley(
 
     coef[np.abs(coef) < 1e-10] = 0.0
     return coef
-
 
 def kernel_shap(
     dataset_size: int,
@@ -73,7 +69,6 @@ def kernel_shap(
         coef = np.linalg.lstsq(sqrt_w[:, None] * x, sqrt_w * y, rcond=None)[0]
     return coef
 
-
 def kernel_shap_ridge(
     dataset_size: int,
     x_train: np.ndarray,
@@ -95,7 +90,6 @@ def kernel_shap_ridge(
     w = np.concatenate([np.ones(len(x_train)), [anchor_weight, anchor_weight]])
     wx = w[:, None] * x
     return ridge_cv(wx, y, alphas=list(alphas), cv=min(5, len(y)))
-
 
 def brute_force_shapley(num_players: int, value_fn) -> np.ndarray:
     """Exact Shapley values by full subset enumeration (test oracle only)."""

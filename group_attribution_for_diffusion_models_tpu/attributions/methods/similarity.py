@@ -11,7 +11,7 @@ batched jnp — one normalized matmul on the MXU per (gen, train) block.
 
 from __future__ import annotations
 
-from typing import Callable, Dict, Optional, Sequence
+from typing import Dict, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -23,7 +23,7 @@ with class/group aggregation via attribution_utils.aggregate_by_class.
 
 from __future__ import annotations
 
-from typing import Callable, Dict, Optional, Sequence, Tuple
+from typing import Callable, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,7 @@ reference so retraining budgets and scheduler math are comparable.
 from __future__ import annotations
 
 import dataclasses
-from typing import Mapping, Optional, Sequence, Tuple
+from typing import Mapping, Optional, Tuple
 
 
 @dataclasses.dataclass(frozen=True)

@@ -13,7 +13,6 @@ Outputs are float images in [0, 1] NHWC (the diffusers "numpy" postprocess).
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, Optional, Tuple
 
 import jax

@@ -18,7 +18,7 @@ checkpoints for weight conversion.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax.numpy as jnp
 from flax import linen as nn

@@ -23,7 +23,7 @@ identity comes from data.removal's seed-deterministic samplers.
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, List, Optional, Sequence, Tuple
+from typing import Callable, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -34,7 +34,7 @@ from ..config.registry import SchedulerSpec
 from ..diffusion.schedulers import ScheduleState
 from ..training.state import TrainState
 from ..training.train import make_train_step
-from .mesh import ensemble_sharding, make_mesh
+from .mesh import ensemble_sharding
 
 
 def pad_member_indices(

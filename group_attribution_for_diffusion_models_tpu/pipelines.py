@@ -11,14 +11,13 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 
 from .cli.common import config_for
-from .config.registry import PROMPTS_ARTBENCH, WorkloadConfig
-from .diffusion import make_schedule
-from .diffusion.sampling import make_sampler, sample_loop
+from .config.registry import WorkloadConfig
+from .diffusion.sampling import make_sampler
 from .models import UNet2D
 from .training import TrainState, make_optimizer
 from .utils.ckpt import load_checkpoint, load_unet_spec

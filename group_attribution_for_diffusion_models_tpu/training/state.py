@@ -12,7 +12,7 @@ min(max_decay, (1+step)/(10+step)) — so early steps track the model fast.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
