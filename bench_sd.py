@@ -13,6 +13,17 @@ is U-Net-only. Emits one JSON line like bench.py.
 Run separately from bench.py (the default driver bench): the first compile
 of the 860M-param vmapped program through this image's remote-compile relay
 can take tens of minutes.
+
+Measured on one TPU v5e (reference: 646 s/subset => 5.57 passes/hour):
+
+    members x batch   passes/hour   vs reference
+    1 x 64 (exact)        40.25          7.2x
+    2 x 32                72.75         13.1x
+    4 x 16               125.84         22.6x
+
+Train time is nearly flat in member count (80 s for 200 steps at all three
+configs): at these batch sizes the step is bandwidth/latency-bound, so extra
+ensemble members ride almost free until HBM runs out (2 x 64 needs 22.5 GB).
 """
 
 import functools
@@ -21,9 +32,9 @@ import time
 
 import numpy as np
 
-NUM_MEMBERS = 4
+NUM_MEMBERS = 2
 TRAIN_STEPS = 200
-BATCH = 16
+BATCH = 32
 N_SAMPLE_IMAGES = 50
 SAMPLE_STEPS = 100
 RANK = 256
