@@ -129,13 +129,24 @@ def main(argv=None):
     if args.max_examples:
         images, labels = images[: args.max_examples], labels[: args.max_examples]
 
-    feats = []
+    # Stream projected features straight to a disk-backed array — the
+    # reference's np.memmap pattern for 50k-example stores
+    # (reference d_trak_grad.py:496-501); nothing but one batch of projected
+    # rows is ever resident on host.
+    from numpy.lib.format import open_memmap
+
+    os.makedirs(os.path.dirname(os.path.abspath(args.save_path)), exist_ok=True)
+    mm_path = args.save_path.replace(".npz", "") + f"_{args.source}_mm.npy"
+    feats = open_memmap(
+        mm_path, mode="w+", dtype=np.float32, shape=(len(images), args.proj_dim)
+    )
     for i in range(0, len(images), args.batch_size):
         batch = jnp.asarray(images[i : i + args.batch_size])
         key = jax.random.fold_in(jax.random.PRNGKey(args.seed), i)
-        feats.append(np.asarray(feat_fn(params, batch, key)))
+        feats[i : i + args.batch_size] = np.asarray(feat_fn(params, batch, key))
         print(f"{min(i + args.batch_size, len(images))}/{len(images)} examples", flush=True)
-    feats = np.concatenate(feats)
+    feats.flush()
+    feats = np.asarray(feats)
 
     os.makedirs(os.path.dirname(os.path.abspath(args.save_path)), exist_ok=True)
     if args.source == "train":
