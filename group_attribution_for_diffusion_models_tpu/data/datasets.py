@@ -225,11 +225,21 @@ def make_synthetic(
     channels: int = 3,
     num_classes: int = 10,
     seed: int = 0,
+    heterogeneous: bool = False,
 ) -> ArrayDataset:
-    """Deterministic random dataset for tests and benchmarks."""
+    """Deterministic random dataset for tests and benchmarks.
+
+    `heterogeneous` scales each class's image amplitude by its label
+    (class k amplitude ~ (k+1)/num_classes), so model behaviors genuinely
+    depend on WHICH examples a removal subset keeps — giving attribution
+    demos real signal instead of i.i.d. noise ("synthetic_<n>x<s>_mix").
+    """
     rng = np.random.RandomState(seed)
     images = rng.uniform(-1.0, 1.0, size=(n, size, size, channels)).astype(np.float32)
     labels = rng.randint(0, num_classes, size=n).astype(np.int64)
+    if heterogeneous:
+        amp = ((labels + 1) / num_classes).astype(np.float32)
+        images = images * amp[:, None, None, None]
     return ArrayDataset(images, labels)
 
 
@@ -245,12 +255,13 @@ def create_dataset(
     root = dataset_dir or constants.DATASET_DIR
 
     if dataset_name.startswith("synthetic"):
-        # "synthetic", "synthetic_64x8" (n=64 size=8) etc., for tests.
+        # "synthetic", "synthetic_64x8" (n=64 size=8), "..._mix" (class-
+        # dependent amplitudes) etc., for tests.
         parts = dataset_name.split("_")
         n, size = 256, 32
         if len(parts) > 1 and "x" in parts[1]:
             n, size = (int(v) for v in parts[1].split("x"))
-        return make_synthetic(n=n, size=size)
+        return make_synthetic(n=n, size=size, heterogeneous="mix" in parts)
 
     if dataset_name == "cifar":
         x, y = _load_cifar10_raw(root, train)
