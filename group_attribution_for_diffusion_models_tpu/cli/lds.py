@@ -34,7 +34,7 @@ def parse_args(argv=None):
         "--model_behavior_key", type=str, default="fid_value",
         choices=["is", "fid_value", "entropy", "mse", "nrmse", "ssim",
                  "diffusion_loss", "precision", "recall", "avg_mse", "avg_ssim",
-                 "avg_nrmse", "avg_total_loss", "loss",
+                 "avg_nrmse", "avg_total_loss", "loss", "eval_loss",
                  "aesthetic_score_avg", "clip_prompt_score_avg"],
     )
     parser.add_argument("--num_units", type=int, default=None,

@@ -40,8 +40,8 @@ def parse_args(argv=None):
     parser.add_argument("--batch_size", type=int, default=None)
     parser.add_argument("--n_samples", type=int, default=16,
                         help="generated images per member for scoring")
-    parser.add_argument("--behavior", type=str, default="loss",
-                        choices=["loss", "fid_value", "is"])
+    parser.add_argument("--behavior", type=str, default="eval_loss",
+                        choices=["eval_loss", "loss", "fid_value", "is"])
     parser.add_argument("--inception_weights", type=str, default=None)
     parser.add_argument("--chunk_size", type=int, default=32,
                         help="members per ensemble invocation")
@@ -57,9 +57,12 @@ def _train_chunked(args, dist, seed_start, num, db):
             "--dataset", args.dataset, "--removal_dist", dist,
             "--seed_start", str(start), "--num_seeds", str(n),
             "--outdir", args.outdir, "--db", db,
-            "--n_samples", str(args.n_samples if args.behavior != "loss" else 0),
+            "--n_samples",
+            str(args.n_samples if args.behavior in ("fid_value", "is") else 0),
             "--num_inference_steps", str(args.num_inference_steps),
         ]
+        if args.behavior == "eval_loss":
+            argv += ["--eval_loss"]
         if args.training_steps:
             argv += ["--training_steps", str(args.training_steps)]
         if args.batch_size:

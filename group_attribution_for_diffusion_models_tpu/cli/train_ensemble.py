@@ -54,6 +54,12 @@ def parse_args(argv=None):
                         help="shared pretrained/pruned start point (sparse-FT)")
     parser.add_argument("--n_samples", type=int, default=0,
                         help="per-member samples to generate after training")
+    parser.add_argument("--eval_loss", action="store_true", default=False,
+                        help="record a deterministic eval loss per member: "
+                             "diffusion loss on a fixed probe batch with "
+                             "fixed noise/timesteps shared across members "
+                             "(a cheap low-variance global behavior)")
+    parser.add_argument("--eval_probe_size", type=int, default=256)
     parser.add_argument("--mesh_ensemble", type=int, default=None,
                         help="ensemble-axis size (default: all devices)")
     parser.add_argument("--mesh_data", type=int, default=1)
@@ -178,6 +184,33 @@ def main(argv=None):
         f"losses {losses.round(4).tolist()}"
     )
 
+    eval_losses = None
+    if args.eval_loss:
+        from ..diffusion.schedulers import add_noise
+
+        schedule_e = make_schedule(cfg.scheduler)
+        probe_n = min(args.eval_probe_size, len(dataset))
+        probe = jnp.asarray(dataset.images[:probe_n])
+        key_e = jax.random.PRNGKey(12345)
+        k_t, k_n = jax.random.split(key_e)
+        t_fixed = jax.random.randint(
+            k_t, (probe_n,), 0, cfg.scheduler.num_train_timesteps
+        )
+        noise_fixed = jax.random.normal(k_n, probe.shape)
+
+        @jax.jit
+        def member_eval(params, probe, noise, t):
+            x_t = add_noise(schedule_e, probe, noise, t)
+            eps = model.apply({"params": params}, x_t, t)
+            return jnp.mean((eps - noise) ** 2)
+
+        eval_losses = np.asarray(
+            jax.vmap(member_eval, in_axes=(0, None, None, None))(
+                state.ema_params, probe, noise_fixed, t_fixed
+            )
+        )
+        print(f"eval losses: {eval_losses.round(5).tolist()}")
+
     sample_time = 0.0
     if args.n_samples > 0:
         shape = (args.n_samples, spec.sample_size, spec.sample_size, spec.in_channels)
@@ -218,6 +251,7 @@ def main(argv=None):
             args,
             removal_seed=seed,
             loss=float(losses[m]),
+            eval_loss=float(eval_losses[m]) if eval_losses is not None else None,
             remaining_idx=remaining_idx,
             removed_idx=removed_idx,
             total_steps_time=train_time / len(seeds),
