@@ -69,10 +69,8 @@ def main(argv=None):
 
     args = parse_args(argv)
     cfg = config_for(args.dataset)
-    method_base = args.method.rstrip("_u").rstrip("_")
-    method_base = {"iu": "iu", "gd": "gd", "ga": "ga", "lora": "gd"}.get(
-        args.method.split("_")[0], "gd"
-    )
+    # Budget lookup key: iu/iu_u -> iu, ga/ga_u -> ga, gd/gd_u/lora* -> gd.
+    method_base = {"iu": "iu", "ga": "ga"}.get(args.method.split("_")[0], "gd")
     training_steps = args.training_steps or cfg.train.training_steps.get(
         method_base, 200
     )
