@@ -21,7 +21,7 @@ import time
 import numpy as np
 
 from ..attributions.global_scores import (
-    build_manifold,
+
     calculate_fid_from_features,
     compute_feature_stats,
     compute_precision_recall,

@@ -23,7 +23,7 @@ import numpy as np
 from ..config import constants
 from ..data import create_dataset, batch_iterator
 from ..diffusion import make_schedule
-from ..diffusion.sampling import make_sampler
+
 from ..models import UNet2D
 from ..training import TrainState, make_optimizer, make_train_step
 from ..utils import append_record

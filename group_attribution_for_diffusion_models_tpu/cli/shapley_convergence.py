@@ -6,7 +6,7 @@ method's (sparse_gd) DB at varying fit sizes, and report MSE / Pearson /
 Spearman between the method's estimates and the baseline pseudo-ground-truth.
 """
 
-import numpy as np
+
 
 from ._tti_lds import (
     base_parser,

@@ -27,7 +27,7 @@ import numpy as np
 from ..attributions import evaluate_lds
 from ..attributions.methods import data_shapley
 from ..utils import append_record, filter_records
-from .common import add_common_args, config_for
+from .common import add_common_args
 
 
 def parse_args(argv=None):
