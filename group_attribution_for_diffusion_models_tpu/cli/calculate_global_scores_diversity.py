@@ -32,7 +32,7 @@ from ..models import UNet2D
 from ..training import TrainState, make_optimizer
 from ..utils import append_record
 from ..utils.ckpt import load_checkpoint, load_unet_spec
-from .common import add_common_args, config_for, provenance_row
+from .common import add_common_args, config_for, provenance_row, vq_decode_fn_for
 
 
 def parse_args(argv=None):
@@ -87,6 +87,7 @@ def main(argv=None):
             model.apply, cfg.scheduler,
             (batch, spec.sample_size, spec.sample_size, spec.in_channels),
             num_inference_steps=args.num_inference_steps, kind="ddim",
+            decode_fn=vq_decode_fn_for(cfg, args.vqvae_weights),
         )
         t0 = time.time()
         chunks = [

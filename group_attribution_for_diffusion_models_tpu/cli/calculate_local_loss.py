@@ -23,7 +23,7 @@ from ..training import TrainState, make_optimizer
 from ..utils import append_record
 from ..utils.ckpt import load_checkpoint, load_unet_spec
 from ..utils.image_metrics import mse, ssim
-from .common import add_common_args, config_for, provenance_row
+from .common import add_common_args, config_for, provenance_row, vq_decode_fn_for
 
 
 def parse_args(argv=None):
@@ -79,17 +79,22 @@ def main(argv=None):
         shape, key, num_inference_steps=args.num_inference_steps,
     )
 
+    # For LDM workloads each x0-hat is a VQ latent; decode it to pixels
+    # before the image metrics (the reference's intermediate decodes,
+    # calculate_local_loss.py:581-629).
+    decode_fn = vq_decode_fn_for(cfg, args.vqvae_weights)
+
     @jax.jit
     def step_metrics(x_full, x_rem, t_scalar):
         t_b = jnp.full((shape[0],), t_scalar, jnp.int32)
         eps_f = full_model.apply({"params": full_state.ema_params}, x_full, t_b)
         eps_r = rem_model.apply({"params": rem_state.ema_params}, x_rem, t_b)
-        x0_f = jnp.clip(
-            pred_original_sample(schedule, eps_f, t_b, x_full) / 2 + 0.5, 0, 1
-        )
-        x0_r = jnp.clip(
-            pred_original_sample(schedule, eps_r, t_b, x_rem) / 2 + 0.5, 0, 1
-        )
+        x0_f = pred_original_sample(schedule, eps_f, t_b, x_full)
+        x0_r = pred_original_sample(schedule, eps_r, t_b, x_rem)
+        if decode_fn is not None:
+            x0_f, x0_r = decode_fn(x0_f), decode_fn(x0_r)
+        x0_f = jnp.clip(x0_f / 2 + 0.5, 0, 1)
+        x0_r = jnp.clip(x0_r / 2 + 0.5, 0, 1)
         return jnp.mean(mse(x0_f, x0_r)), jnp.mean(ssim(x0_f, x0_r))
 
     per_step_mse, per_step_ssim = [], []

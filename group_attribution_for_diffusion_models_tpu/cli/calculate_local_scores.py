@@ -65,16 +65,32 @@ def main(argv=None):
     full_model, full_state, _ = _load(args.full_model_dir, cfg)
     rem_model, rem_state, rem_meta = _load(args.removal_model_dir, cfg)
 
+    # LDM workloads: decode sampled latents to pixels for the image metrics,
+    # re-encode for the diffusion loss (reference calculate_local_scores.py
+    # :298,:357-358 round-trips through the frozen vqvae the same way).
+    vqvae = vq_vars = None
+    decode_fn = None
+    if cfg.vqvae is not None:
+        from ..models.vqvae import load_vqvae
+
+        vqvae, vq_vars = load_vqvae(cfg.vqvae, args.vqvae_weights)
+        scale = cfg.vqvae.scaling_factor
+
+        def decode_fn(z):
+            return vqvae.apply(vq_vars, z / scale, method=vqvae.decode)
+
     shape = (args.n_samples, spec.sample_size, spec.sample_size, spec.in_channels)
     t0 = time.time()
     key = jax.random.PRNGKey(args.seed)
     full_sampler = make_sampler(
         full_model.apply, cfg.scheduler, shape,
         num_inference_steps=args.num_inference_steps, kind="ddim",
+        decode_fn=decode_fn,
     )
     rem_sampler = make_sampler(
         rem_model.apply, cfg.scheduler, shape,
         num_inference_steps=args.num_inference_steps, kind="ddim",
+        decode_fn=decode_fn,
     )
     imgs_full = full_sampler(full_state.ema_params, key)
     imgs_rem = rem_sampler(rem_state.ema_params, key)  # SAME key: paired seeds
@@ -88,6 +104,8 @@ def main(argv=None):
     # averaged over timesteps x noises (reference :339-374).
     schedule = make_schedule(cfg.scheduler)
     x = imgs_full * 2.0 - 1.0
+    if vqvae is not None:
+        x = vqvae.apply(vq_vars, x, method=vqvae.encode) * cfg.vqvae.scaling_factor
 
     @jax.jit
     def diff_loss(params, key):

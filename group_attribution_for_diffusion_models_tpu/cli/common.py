@@ -138,6 +138,42 @@ def add_common_args(parser: argparse.ArgumentParser) -> None:
                         help="index for loo/aoi removal")
     parser.add_argument("--by_class", action="store_true", default=False)
     parser.add_argument("--num_inference_steps", type=int, default=100)
+    parser.add_argument(
+        "--vqvae_weights", type=str, default=None,
+        help="converted VQ-VAE params (.npy) for latent workloads",
+    )
+    parser.add_argument(
+        "--tracker", type=str, default="none",
+        choices=["none", "jsonl", "wandb", "tensorboard"],
+        help="training-scalar tracker (reference main.py:604-616 wandb opt)",
+    )
+
+
+def tracker_for(args, run_name: str):
+    """Scalar tracker from common CLI args (logs land under <outdir>/logs)."""
+    from ..utils.trackers import make_tracker
+
+    return make_tracker(
+        args.tracker,
+        run_name=run_name,
+        config={k: v for k, v in vars(args).items()
+                if isinstance(v, (int, float, str, bool, type(None)))},
+        logdir=os.path.join(args.outdir, "logs"),
+    )
+
+
+def vq_decode_fn_for(cfg, vqvae_weights: Optional[str] = None, quiet: bool = False):
+    """decode_fn for LDM workloads (None for pixel-space ones).
+
+    Passed to the samplers so the frozen VQ decoder renders U-Net latents to
+    pixels inside the compiled sampling program (reference builds an
+    LDMPipeline whose vqvae.decode follows the denoise loop,
+    src/diffusion_utils.py:253-276)."""
+    if cfg.vqvae is None:
+        return None
+    from ..models.vqvae import make_vq_decode_fn
+
+    return make_vq_decode_fn(cfg.vqvae, vqvae_weights, quiet=quiet)
 
 
 def setup_removal(

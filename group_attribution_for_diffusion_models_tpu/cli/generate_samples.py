@@ -17,12 +17,11 @@ import os
 
 import numpy as np
 
-from ..diffusion import make_schedule
 from ..diffusion.sampling import make_sampler
 from ..models import UNet2D
 from ..training import TrainState, make_optimizer
 from ..utils.ckpt import load_checkpoint, load_unet_spec
-from .common import add_common_args, config_for
+from .common import add_common_args, config_for, vq_decode_fn_for
 
 
 def parse_args(argv=None):
@@ -68,6 +67,7 @@ def main(argv=None):
     sampler = make_sampler(
         model.apply, cfg.scheduler, shape,
         num_inference_steps=args.num_inference_steps, kind="ddim",
+        decode_fn=vq_decode_fn_for(cfg, args.vqvae_weights),
     )
 
     n_batches = -(-args.n_samples // batch)

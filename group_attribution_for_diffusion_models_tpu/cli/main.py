@@ -40,6 +40,7 @@ from .common import (
     provenance_row,
     save_removal_indices,
     setup_removal,
+    tracker_for,
 )
 
 
@@ -67,8 +68,6 @@ def parse_args(argv=None):
                         choices=["none", "save", "reuse"],
                         help="VQ-VAE latent precompute mode for LDM datasets "
                              "(reference main.py:490-546)")
-    parser.add_argument("--vqvae_weights", type=str, default=None,
-                        help="converted VQModel weights (random init without)")
     return parser.parse_args(argv)
 
 
@@ -106,20 +105,9 @@ def main(argv=None):
     # full-dataset encode caches to precomputed_emb/ keyed by dataset order
     # (reference main.py:490-546).
     if cfg.vqvae is not None:
-        from ..models.vqvae import VQVAE, precompute_latents
+        from ..models.vqvae import load_vqvae, precompute_latents
 
-        vqvae = VQVAE(cfg.vqvae)
-        if args.vqvae_weights:
-            vq_vars = {"params": np.load(args.vqvae_weights, allow_pickle=True).item()}
-        else:
-            import jax.numpy as _jnp
-
-            vq_vars = vqvae.init(
-                jax.random.PRNGKey(7),
-                _jnp.zeros((1, cfg.image_size, cfg.image_size, cfg.vqvae.in_channels)),
-            )
-            print("WARNING: VQ-VAE running random-init (no --vqvae_weights); "
-                  "latents are not reference-comparable")
+        vqvae, vq_vars = load_vqvae(cfg.vqvae, args.vqvae_weights)
         cache = (
             os.path.join(args.outdir, args.dataset, "precomputed_emb",
                          "vqvae_latents.npy")
@@ -219,6 +207,7 @@ def main(argv=None):
         )
 
     batches = batch_iterator(subset, min(batch_size, len(subset)), seed=args.opt_seed)
+    tracker = tracker_for(args, f"{args.dataset}_{args.method}")
     t_start = time.time()
     metrics = {}
     for step_i in range(start_step, training_steps):
@@ -237,12 +226,19 @@ def main(argv=None):
                 f"steps_time={el:.1f}s",
                 flush=True,
             )
+            tracker.log(
+                {"loss": float(metrics["loss"]),
+                 "grad_norm": float(metrics["grad_norm"]),
+                 "steps_time": el},
+                step_i + 1,
+            )
         if (step_i + 1) % ckpt_freq == 0 or step_i + 1 == training_steps:
             save_checkpoint(
                 model_dir, step_i + 1, state, remaining_idx, removed_idx,
                 total_steps_time + (time.time() - t_start), unet_spec=spec,
             )
     total_steps_time += time.time() - t_start
+    tracker.finish()
 
     db = args.db or os.path.join(args.outdir, f"{args.dataset}_train_db.jsonl")
     append_record(

@@ -37,6 +37,7 @@ from .common import (
     model_output_dir,
     provenance_row,
     save_removal_indices,
+    tracker_for,
 )
 
 
@@ -66,6 +67,9 @@ def parse_args(argv=None):
     parser.add_argument("--bf16", action="store_true", default=False)
     parser.add_argument("--remat", action="store_true", default=False)
     parser.add_argument("--save_ckpts", action="store_true", default=True)
+    parser.add_argument("--log_freq", type=int, default=0,
+                        help="tracker log interval in steps (0 = only final; "
+                             "each log forces one host sync)")
     return parser.parse_args(argv)
 
 
@@ -143,13 +147,34 @@ def main(argv=None):
                 devices=jax.devices()[: e_axis * args.mesh_data],
             )
 
-    images_u8 = ((dataset.images + 1.0) * 127.5).round().astype(np.uint8)
+    # LDM workloads (celeba): every member trains in the frozen VQ-VAE's
+    # latent space; the one-time full-dataset encode is shared across the
+    # whole ensemble (reference precomputes per process, main.py:490-546).
+    # Pixel workloads keep the uint8 on-device store (4x less HBM).
+    decode_fn = None
+    if cfg.vqvae is not None:
+        from ..models.vqvae import load_vqvae, precompute_latents
+
+        vqvae, vq_vars = load_vqvae(cfg.vqvae, args.vqvae_weights)
+        cache = os.path.join(args.outdir, args.dataset, "precomputed_emb",
+                             "vqvae_latents.npy")
+        train_data = (
+            precompute_latents(vqvae, vq_vars, dataset.images, batch_size=32,
+                               cache_path=cache)
+            * cfg.vqvae.scaling_factor
+        ).astype(np.float32)
+        scale = cfg.vqvae.scaling_factor
+
+        def decode_fn(z):
+            return vqvae.apply(vq_vars, z / scale, method=vqvae.decode)
+    else:
+        train_data = ((dataset.images + 1.0) * 127.5).round().astype(np.uint8)
     trainer = EnsembleTrainer(
         apply_fn=model.apply,
         tx=tx,
         schedule=make_schedule(cfg.scheduler),
         spec=cfg.scheduler,
-        images_u8=images_u8,
+        images_u8=train_data,
         member_indices=member_indices,
         batch_size=min(batch_size, min(len(m) for m in member_indices)),
         mesh=mesh,
@@ -174,7 +199,14 @@ def main(argv=None):
         state = trainer.init_state(init_fn=init_fn, seed=args.opt_seed)
 
     t_start = time.time()
-    state, metrics = trainer.run(state, training_steps, seed=args.opt_seed)
+    tracker = tracker_for(args, f"{args.dataset}_ensemble_{args.method}")
+    state, metrics = trainer.run(
+        state, training_steps, seed=args.opt_seed,
+        log_every=getattr(args, "log_freq", 0) or 0,
+        log_fn=lambda m, i: tracker.log(
+            {"loss_mean": float(np.mean(np.asarray(m["loss"])))}, i
+        ),
+    )
     jax.block_until_ready(state.params)
     train_time = time.time() - t_start
     losses = np.asarray(metrics["loss"])
@@ -190,7 +222,11 @@ def main(argv=None):
 
         schedule_e = make_schedule(cfg.scheduler)
         probe_n = min(args.eval_probe_size, len(dataset))
-        probe = jnp.asarray(dataset.images[:probe_n])
+        # Probe lives in the training space (VQ latents for LDM workloads).
+        if cfg.vqvae is not None:
+            probe = jnp.asarray(train_data[:probe_n])
+        else:
+            probe = jnp.asarray(dataset.images[:probe_n])
         key_e = jax.random.PRNGKey(12345)
         k_t, k_n = jax.random.split(key_e)
         t_fixed = jax.random.randint(
@@ -223,6 +259,7 @@ def main(argv=None):
                 lambda p, k: sample_loop(
                     model.apply, p, schedule, cfg.scheduler, shape, k,
                     num_inference_steps=args.num_inference_steps, kind="ddim",
+                    decode_fn=decode_fn,
                 )
             )(stacked_params, keys)
 

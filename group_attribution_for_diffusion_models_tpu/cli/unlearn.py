@@ -81,6 +81,27 @@ def main(argv=None):
     if len(removed_idx) == 0 or len(remaining_idx) == 0:
         raise SystemExit("unlearning needs nonempty remaining and removed sets")
 
+    # LDM workloads (celeba): unlearn in VQ latent space, like training, and
+    # decode sampled latents for scoring (reference unlearn.py encodes via
+    # the pipeline's frozen vqvae; calculate_local_scores.py:357-358).
+    decode_fn = None
+    train_ds = dataset
+    if cfg.vqvae is not None:
+        from ..data.datasets import ArrayDataset
+        from ..models.vqvae import load_vqvae, precompute_latents
+
+        vqvae, vq_vars = load_vqvae(cfg.vqvae, args.vqvae_weights)
+        cache = os.path.join(args.outdir, args.dataset, "precomputed_emb",
+                             "vqvae_latents.npy")
+        latents = precompute_latents(
+            vqvae, vq_vars, dataset.images, batch_size=32, cache_path=cache
+        ) * cfg.vqvae.scaling_factor
+        train_ds = ArrayDataset(latents, dataset.labels)
+        scale = cfg.vqvae.scaling_factor
+
+        def decode_fn(z):
+            return vqvae.apply(vq_vars, z / scale, method=vqvae.decode)
+
     spec = cfg.unet
     model = UNet2D(spec)
     x0 = jnp.zeros((1, spec.sample_size, spec.sample_size, spec.in_channels))
@@ -101,7 +122,7 @@ def main(argv=None):
     if args.method in ("iu", "iu_u"):
         new_params = influence_unlearn(
             model.apply, params, schedule, cfg.scheduler,
-            dataset.images[removed_idx], dataset.images[remaining_idx],
+            train_ds.images[removed_idx], train_ds.images[remaining_idx],
             alpha=args.iu_ratio, batch_size=min(batch_size, 32),
             wf_batches=args.wf_batches, seed=args.opt_seed,
         )
@@ -111,7 +132,7 @@ def main(argv=None):
                          key=jax.random.PRNGKey(args.opt_seed))
         tx = make_optimizer("adamw", lr=args.lr or 1e-4)
         opt_state = tx.init(tree)
-        subset = dataset.subset(remaining_idx)
+        subset = train_ds.subset(remaining_idx)
         batches = batch_iterator(subset, min(batch_size, len(subset)), args.opt_seed)
 
         from ..diffusion.schedulers import add_noise, antithetic_timesteps
@@ -151,7 +172,7 @@ def main(argv=None):
         st = TrainState.create(params, tx)
         step_fn = jax.jit(make_train_step(model.apply, tx, schedule, cfg.scheduler))
         train_idx = removed_idx if ga else remaining_idx
-        subset = dataset.subset(train_idx)
+        subset = train_ds.subset(train_idx)
         batches = batch_iterator(subset, min(batch_size, len(subset)), args.opt_seed)
         for i in range(training_steps):
             images, _ = next(batches)
@@ -177,6 +198,7 @@ def main(argv=None):
         sampler = make_sampler(
             model.apply, cfg.scheduler, shape,
             num_inference_steps=args.num_inference_steps, kind="ddim",
+            decode_fn=decode_fn,
         )
         t0 = time.time()
         samples = np.asarray(sampler(final.ema_params, jax.random.PRNGKey(42)))
@@ -212,6 +234,7 @@ def main(argv=None):
             full_sampler = make_sampler(
                 model.apply, cfg.scheduler, shape,
                 num_inference_steps=args.num_inference_steps, kind="ddim",
+                decode_fn=decode_fn,
             )
             full_imgs = full_sampler(state.ema_params, jax.random.PRNGKey(42))
             scores["avg_mse"] = float(np.mean(np.asarray(mse(full_imgs, samples))))

@@ -39,12 +39,18 @@ def sample_loop(
     eta: float = 0.0,
     kind: Optional[str] = None,
     encoder_hidden_states: Optional[jnp.ndarray] = None,
+    decode_fn: Optional[Callable] = None,
 ) -> jnp.ndarray:
     """Generate a batch of images/latents. `kind` defaults to spec.kind.
 
     For DDIM with eta=0 the loop is deterministic given `key` (only the
     initial noise consumes randomness) — the paired-seed generation that
     local model behaviors rely on (reference calculate_local_scores.py).
+
+    `decode_fn` maps final latents to [-1, 1] images inside the same XLA
+    program — the LDM path, where the U-Net diffuses VQ-VAE latents and the
+    frozen decoder renders pixels (reference src/diffusion_utils.py:253-276
+    builds an LDMPipeline whose vqvae.decode runs after the denoise loop).
     """
     kind = kind or spec.kind
     key_init, key_steps = jax.random.split(key)
@@ -80,6 +86,8 @@ def sample_loop(
         return x, None
 
     x, _ = jax.lax.scan(body, x, (ts, ts_prev, step_keys))
+    if decode_fn is not None:
+        x = decode_fn(x)
     return jnp.clip(x / 2.0 + 0.5, 0.0, 1.0)
 
 
@@ -133,12 +141,14 @@ def make_sampler(
     num_inference_steps: int = 100,
     eta: float = 0.0,
     kind: Optional[str] = None,
+    decode_fn: Optional[Callable] = None,
 ):
     """Jit-once sampler factory: (params, key) -> images.
 
     DDIM sampling always rebuilds the schedule from the spec — the reference
     similarly re-instantiates a fresh DDIMScheduler for inference
-    (reference src/diffusion_utils.py:404-407).
+    (reference src/diffusion_utils.py:404-407). For latent workloads pass
+    `decode_fn` so the VQ decode fuses into the same compiled program.
     """
     schedule = make_schedule(spec)
 
@@ -147,6 +157,7 @@ def make_sampler(
         return sample_loop(
             apply_fn, params, schedule, spec, shape, key,
             num_inference_steps=num_inference_steps, eta=eta, kind=kind,
+            decode_fn=decode_fn,
         )
 
     return sampler

@@ -202,6 +202,51 @@ class AutoencoderKL(nn.Module):
         return self.decode(self.encode(x))
 
 
+def load_vqvae(
+    spec: VQVAESpec, weights_path: Optional[str] = None, quiet: bool = False
+) -> Tuple[VQVAE, Any]:
+    """(model, variables) for the frozen VQ-VAE of an LDM workload.
+
+    Weights come from a converted diffusers VQModel state dict
+    (cli.convert_weights); without them the model is deterministically
+    random-initialized (PRNGKey(7), same as the trainer) so smoke runs use
+    one consistent encoder/decoder across train -> sample -> score.
+    """
+    vqvae = VQVAE(spec)
+    if weights_path:
+        variables = {"params": np.load(weights_path, allow_pickle=True).item()}
+    else:
+        variables = vqvae.init(
+            jax.random.PRNGKey(7),
+            jnp.zeros((1, spec.sample_size, spec.sample_size, spec.in_channels)),
+        )
+        if not quiet:
+            print(
+                "WARNING: VQ-VAE running random-init (no vqvae weights); "
+                "outputs are not reference-comparable"
+            )
+    return vqvae, variables
+
+
+def make_vq_decode_fn(
+    spec: VQVAESpec, weights_path: Optional[str] = None, quiet: bool = False
+):
+    """Jittable decode_fn: scaled U-Net latents -> [-1, 1] images.
+
+    Undoes the training-time `* scaling_factor` (cli.main) and runs
+    quantize -> post_quant_conv -> decoder — the step the reference gets from
+    LDMPipeline's vqvae.decode after the denoise loop (reference
+    src/diffusion_utils.py:253-276).
+    """
+    vqvae, variables = load_vqvae(spec, weights_path, quiet=quiet)
+    scale = spec.scaling_factor
+
+    def decode_fn(z: jnp.ndarray) -> jnp.ndarray:
+        return vqvae.apply(variables, z / scale, method=vqvae.decode)
+
+    return decode_fn
+
+
 def precompute_latents(
     vqvae: VQVAE,
     variables,

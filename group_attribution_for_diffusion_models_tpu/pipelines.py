@@ -25,12 +25,17 @@ from .utils.ckpt import load_checkpoint, load_unet_spec
 
 @dataclasses.dataclass
 class Pipeline:
-    """A ready-to-sample (model, params) pair with its schedule."""
+    """A ready-to-sample (model, params) pair with its schedule.
+
+    For LDM workloads `decode_fn` renders U-Net latents to pixels (the
+    reference's LDMPipeline carries its vqvae the same way,
+    src/diffusion_utils.py:253-276)."""
 
     cfg: WorkloadConfig
     model: UNet2D
     state: TrainState
     meta: dict
+    decode_fn: Optional[object] = None
 
     @property
     def spec(self):
@@ -55,6 +60,7 @@ class Pipeline:
             self.model.apply, self.cfg.scheduler,
             (batch, spec.sample_size, spec.sample_size, spec.in_channels),
             num_inference_steps=num_inference_steps, kind=kind,
+            decode_fn=self.decode_fn,
         )
         params = self.state.ema_params if use_ema else self.state.params
         chunks = []
@@ -73,7 +79,17 @@ class Pipeline:
         )
 
 
-def load_ckpt_model(model_dir: str, dataset: str) -> Pipeline:
+def _decode_fn_for(cfg, vqvae_weights: Optional[str]):
+    if cfg.vqvae is None:
+        return None
+    from .models.vqvae import make_vq_decode_fn
+
+    return make_vq_decode_fn(cfg.vqvae, vqvae_weights)
+
+
+def load_ckpt_model(
+    model_dir: str, dataset: str, vqvae_weights: Optional[str] = None
+) -> Pipeline:
     """Load the latest checkpoint for a dataset workload
     (reference load_ckpt_model :111-205); honors pruned specs in metadata."""
     import jax
@@ -90,10 +106,14 @@ def load_ckpt_model(model_dir: str, dataset: str) -> Pipeline:
     loaded_spec = load_unet_spec(meta)
     if loaded_spec is not None and loaded_spec != spec:
         model = UNet2D(loaded_spec)
-    return Pipeline(cfg=cfg, model=model, state=state, meta=meta)
+    return Pipeline(cfg=cfg, model=model, state=state, meta=meta,
+                    decode_fn=_decode_fn_for(cfg, vqvae_weights))
 
 
-def build_pipeline(dataset: str, model_dir: Optional[str] = None) -> Pipeline:
+def build_pipeline(
+    dataset: str, model_dir: Optional[str] = None,
+    vqvae_weights: Optional[str] = None,
+) -> Pipeline:
     """Dataset-conditional pipeline construction (reference build_pipeline
     :208-316). With no checkpoint, a randomly initialized model is returned
     (useful for smoke flows)."""
@@ -101,14 +121,15 @@ def build_pipeline(dataset: str, model_dir: Optional[str] = None) -> Pipeline:
     import jax.numpy as jnp
 
     if model_dir is not None:
-        return load_ckpt_model(model_dir, dataset)
+        return load_ckpt_model(model_dir, dataset, vqvae_weights)
     cfg = config_for(dataset)
     spec = cfg.unet
     model = UNet2D(spec)
     x0 = jnp.zeros((1, spec.sample_size, spec.sample_size, spec.in_channels))
     params = model.init(jax.random.PRNGKey(0), x0, jnp.zeros((1,), jnp.int32))["params"]
     state = TrainState.create(params, make_optimizer("adam", lr=1e-4))
-    return Pipeline(cfg=cfg, model=model, state=state, meta={})
+    return Pipeline(cfg=cfg, model=model, state=state, meta={},
+                    decode_fn=_decode_fn_for(cfg, vqvae_weights))
 
 
 class ImagenetteCaptioner:

@@ -1,0 +1,99 @@
+"""LDM (VQ-latent) path end to end: train in latent space, decode at sampling.
+
+The celeba-style workload diffuses VQ-VAE latents (reference
+src/ddpm_config.py:462-483); sampled latents must pass through the frozen VQ
+decoder before any pixel-space scoring (reference builds an LDMPipeline whose
+vqvae.decode follows the denoise loop, src/diffusion_utils.py:253-276).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+DATASET = "synthetic_64x16_ldm"  # 64 images, 16x16 pixels -> 4x4 VQ latents
+
+
+@pytest.fixture(scope="module")
+def outdir(tmp_path_factory):
+    return str(tmp_path_factory.mktemp("ldm"))
+
+
+@pytest.fixture(scope="module")
+def full_dir(outdir):
+    from group_attribution_for_diffusion_models_tpu.cli import main as train_main
+
+    train_main.main([
+        "--dataset", DATASET, "--method", "retrain", "--removal_dist", "full",
+        "--outdir", outdir, "--training_steps", "3", "--log_freq", "2",
+    ])
+    d = os.path.join(outdir, DATASET, "retrain", "models", "full")
+    assert os.path.isdir(d)
+    return d
+
+
+def test_latent_training_shapes(outdir, full_dir):
+    # The precompute cache holds latents at the U-Net's (downsampled) size.
+    cache = os.path.join(outdir, DATASET, "precomputed_emb", "vqvae_latents.npy")
+    lat = np.load(cache)
+    assert lat.shape == (64, 4, 4, 3)
+
+
+def test_generate_samples_decodes_to_pixels(outdir, full_dir):
+    from PIL import Image
+
+    from group_attribution_for_diffusion_models_tpu.cli import generate_samples
+
+    sample_dir = os.path.join(outdir, "samples")
+    generate_samples.main([
+        "--dataset", DATASET, "--load", full_dir, "--n_samples", "2",
+        "--batch_size", "2", "--num_inference_steps", "3",
+        "--sample_outdir", sample_dir, "--outdir", outdir,
+    ])
+    img = Image.open(os.path.join(sample_dir, "sample_000000.png"))
+    assert img.size == (16, 16)  # decoded pixels, not 4x4 latents
+
+
+def test_pipeline_facade_decodes(full_dir):
+    from group_attribution_for_diffusion_models_tpu.pipelines import (
+        load_ckpt_model,
+    )
+
+    pipe = load_ckpt_model(full_dir, DATASET)
+    assert pipe.decode_fn is not None
+    imgs = pipe.generate_images(2, batch_size=2, num_inference_steps=2)
+    assert imgs.shape == (2, 16, 16, 3)
+    assert imgs.min() >= 0.0 and imgs.max() <= 1.0
+
+
+def test_unlearn_local_behaviors_in_latent_space(outdir, full_dir):
+    from group_attribution_for_diffusion_models_tpu.cli import unlearn
+    from group_attribution_for_diffusion_models_tpu.utils import read_records
+
+    db = os.path.join(outdir, "unlearn_db.jsonl")
+    unlearn.main([
+        "--dataset", DATASET, "--method", "gd", "--load", full_dir,
+        "--removal_dist", "shapley", "--removal_seed", "0",
+        "--model_behavior", "local", "--training_steps", "2",
+        "--n_samples", "2", "--num_inference_steps", "2",
+        "--outdir", outdir, "--db", db,
+    ])
+    rows = list(read_records(db))
+    assert len(rows) == 1
+    assert 0.0 <= rows[0]["avg_ssim"] <= 1.0
+
+
+def test_ensemble_trains_in_latent_space(outdir):
+    from group_attribution_for_diffusion_models_tpu.cli import train_ensemble
+    from group_attribution_for_diffusion_models_tpu.utils import read_records
+
+    db = os.path.join(outdir, "ens_db.jsonl")
+    train_ensemble.main([
+        "--dataset", DATASET, "--method", "retrain",
+        "--removal_dist", "shapley", "--seed_start", "0", "--num_seeds", "2",
+        "--training_steps", "2", "--n_samples", "2",
+        "--num_inference_steps", "2", "--eval_loss", "--eval_probe_size", "16",
+        "--outdir", outdir, "--db", db,
+    ])
+    rows = list(read_records(db))
+    assert len(rows) == 2
