@@ -91,6 +91,11 @@ def parse_args(argv=None):
     parser.add_argument("--opt_seed", type=int, default=42)
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--log_freq", type=int, default=50)
+    parser.add_argument("--tracker", type=str, default="none",
+                        choices=["none", "jsonl", "wandb", "tensorboard"],
+                        help="training-scalar tracker (reference logs via "
+                             "accelerate trackers, "
+                             "train_text_to_image_lora.py:1146,1322)")
     return parser.parse_args(argv)
 
 
@@ -293,6 +298,14 @@ def main(argv=None):
             member_step, in_axes=(None, None, None, None, 0, 0, 0, 0, 0)
         )(base, lat_all, emb_all, emb_idx, stacked, opt_st, table_j, sizes_j, keys)
 
+    from ..utils.trackers import make_tracker
+
+    tracker = make_tracker(
+        args.tracker, run_name=f"{args.dataset}_lora_{args.method}",
+        config={k: v for k, v in vars(args).items()
+                if isinstance(v, (int, float, str, bool, type(None)))},
+        logdir=os.path.join(args.outdir, "logs"),
+    )
     t_start = time.time()
     time_rows = []
     for step_i in range(total_steps):
@@ -307,8 +320,15 @@ def main(argv=None):
                 f"losses={np.asarray(losses).round(4).tolist()} {el:.1f}s",
                 flush=True,
             )
+        if (step_i + 1) % args.log_freq == 0 or step_i + 1 == total_steps:
+            tracker.log(
+                {"loss_mean": float(np.mean(np.asarray(losses))),
+                 "elapsed_s": time.time() - t_start},
+                step_i + 1,
+            )
         time_rows.append((step_i, time.time() - t_start))
     train_time = time.time() - t_start
+    tracker.finish()
 
     db = args.db or os.path.join(args.outdir, f"{args.dataset}_lora_db.jsonl")
     for m, seed in enumerate(seeds):

@@ -199,9 +199,16 @@ class EnsembleTrainer:
         """One parallel step for all members: (state, metrics) with leading B."""
         return self._step(stacked, key, self._images, self._table, self._sizes)
 
-    def run(self, stacked: TrainState, num_steps: int, seed: int = 0):
-        """Drive num_steps ensemble steps; returns (state, last_metrics)."""
+    def run(self, stacked: TrainState, num_steps: int, seed: int = 0,
+            log_every: int = 0, log_fn: Optional[Callable] = None):
+        """Drive num_steps ensemble steps; returns (state, last_metrics).
+
+        `log_fn(metrics, step)` fires every `log_every` steps (0 = never);
+        metrics values carry the leading ensemble dim. The host sync it
+        forces is the only one in the loop."""
         metrics = None
         for i in range(num_steps):
             stacked, metrics = self.step(stacked, jax.random.PRNGKey(seed * 1_000_003 + i))
+            if log_fn is not None and log_every and (i + 1) % log_every == 0:
+                log_fn(metrics, i + 1)
         return stacked, metrics
