@@ -91,6 +91,10 @@ def parse_args(argv=None):
     parser.add_argument("--opt_seed", type=int, default=42)
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--log_freq", type=int, default=50)
+    parser.add_argument("--mesh_ensemble", type=int, default=None,
+                        help="shard the LoRA ensemble over this many devices "
+                             "(default: min(num_seeds, device count); 1 "
+                             "disables sharding)")
     parser.add_argument("--tracker", type=str, default="none",
                         choices=["none", "jsonl", "wandb", "tensorboard"],
                         help="training-scalar tracker (reference logs via "
@@ -291,7 +295,43 @@ def main(argv=None):
 
     import functools
 
-    @functools.partial(jax.jit, donate_argnums=(4, 5))
+    # Multi-chip: shard the stacked LoRA states over the mesh's "ensemble"
+    # axis (no cross-member communication, so scaling is embarrassing); the
+    # frozen base towers / latents / embeddings replicate. This is the SD
+    # equivalent of parallel.ensemble's sharded trainer (SURVEY.md §2.7) —
+    # one v5p pod slice trains a whole SLURM array of LoRA subset-retrains.
+    import math
+
+    mesh = None
+    e_axis = args.mesh_ensemble or min(len(seeds), len(jax.devices()))
+    e_axis = math.gcd(len(seeds), e_axis)
+    if e_axis > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel import make_mesh
+
+        mesh = make_mesh((e_axis,), ("ensemble",),
+                         devices=jax.devices()[:e_axis])
+        sh_e = NamedSharding(mesh, P("ensemble"))
+        sh_r = NamedSharding(mesh, P())
+        stacked_lora = jax.device_put(stacked_lora, sh_e)
+        opt_state = jax.device_put(opt_state, sh_e)
+        table_j = jax.device_put(table_j, sh_e)
+        sizes_j = jax.device_put(sizes_j, sh_e)
+        base_params = jax.device_put(base_params, sh_r)
+        latents_j = jax.device_put(latents_j, sh_r)
+        unit_emb_j = jax.device_put(unit_emb_j, sh_r)
+        img_emb_idx_j = jax.device_put(img_emb_idx_j, sh_r)
+        print(f"LoRA ensemble sharded over {e_axis} devices")
+
+    jit_kwargs = {"donate_argnums": (4, 5)}
+    if mesh is not None:
+        sh_e = NamedSharding(mesh, P("ensemble"))
+        sh_r = NamedSharding(mesh, P())
+        jit_kwargs["in_shardings"] = (sh_r, sh_r, sh_r, sh_r, sh_e, sh_e, None)
+        jit_kwargs["out_shardings"] = (sh_e, sh_e, sh_e)
+
+    @functools.partial(jax.jit, **jit_kwargs)
     def ensemble_step(base, lat_all, emb_all, emb_idx, stacked, opt_st, key):
         keys = jax.random.split(key, len(seeds))
         return jax.vmap(

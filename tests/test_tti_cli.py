@@ -107,3 +107,31 @@ def test_traks_and_baseline_lds(outdir, tmp_path):
         "--attrs", os.path.join(save_dir, "attrs_trak.npy"),
         "--test_db", db, "--model_behavior_key", "loss", "--num_groups", "10",
     ])
+
+
+def test_lora_ensemble_sharding_matches_unsharded(tmp_path):
+    """Sharding the LoRA ensemble over the mesh must not change the math.
+
+    Runs the same 4-member ensemble once sharded over 4 virtual devices and
+    once unsharded (--mesh_ensemble 1); per-member losses must agree.
+    """
+    from group_attribution_for_diffusion_models_tpu.cli import (
+        train_text_to_image_lora as tti,
+    )
+    from group_attribution_for_diffusion_models_tpu.utils import read_records
+
+    def run(sub, mesh):
+        out = str(tmp_path / sub)
+        tti.main([
+            "--dataset", "synthetic_32x8", "--outdir", out,
+            "--max_train_steps", "2", "--train_batch_size", "4",
+            "--num_seeds", "4", "--mesh_ensemble", str(mesh),
+        ])
+        rows = list(read_records(os.path.join(out, "synthetic_32x8_lora_db.jsonl")))
+        return {r["removal_seed"]: r["loss"] for r in rows}
+
+    sharded = run("sharded", 4)
+    unsharded = run("unsharded", 1)
+    assert sharded.keys() == unsharded.keys() and len(sharded) == 4
+    for seed in sharded:
+        np.testing.assert_allclose(sharded[seed], unsharded[seed], rtol=1e-4)
