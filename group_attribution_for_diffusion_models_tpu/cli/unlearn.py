@@ -206,6 +206,7 @@ def main(argv=None):
 
         if args.model_behavior == "global":
             from ..attributions.global_scores import (
+                calculate_diversity_score,
                 calculate_fid_from_features,
                 compute_precision_recall,
                 inception_score_from_logits,
@@ -221,13 +222,21 @@ def main(argv=None):
             if ref_imgs.shape[-1] == 1:
                 ref_imgs = np.repeat(ref_imgs, 3, -1)
             ref_feats, _ = extract(ref_imgs)
-            scores["fid_value"] = calculate_fid_from_features(
-                gen_feats, ref_features=ref_feats
-            )
-            scores["is"], scores["is_std"] = inception_score_from_logits(gen_logits)
-            scores["precision"], scores["recall"] = compute_precision_recall(
-                ref_feats, gen_feats
-            )
+            if cfg.vqvae is not None:
+                # celeba workload: the global behavior is demographic
+                # diversity entropy, not FID (reference unlearn.py:787-803).
+                div = calculate_diversity_score(ref_feats, gen_feats)
+                scores["entropy"] = div["entropy"]
+                scores["cluster_count"] = div["cluster_count"]
+                scores["cluster_proportions"] = div["cluster_proportions"]
+            else:
+                scores["fid_value"] = calculate_fid_from_features(
+                    gen_feats, ref_features=ref_feats
+                )
+                scores["is"], scores["is_std"] = inception_score_from_logits(gen_logits)
+                scores["precision"], scores["recall"] = compute_precision_recall(
+                    ref_feats, gen_feats
+                )
         else:  # local: paired behaviors vs the full model
             from ..utils.image_metrics import mse, nrmse, ssim
 

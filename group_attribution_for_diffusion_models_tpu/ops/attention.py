@@ -30,11 +30,11 @@ import functools
 import jax
 import jax.numpy as jnp
 
-# Flash kernel pays off once the score matrix stops being tiny; below this
-# XLA's fused attention is already optimal for the 256-1024-token blocks.
-_FLASH_MIN_Q_LEN = 2048
-# Measured on v5e at (8, 4096, 8, 64) bf16: BQ=256 44.2 TFLOP/s vs XLA fused
-# attention 20.7 TFLOP/s (2.1x). BQ=128 within noise (42.9).
+# Flash kernel pays off once the score matrix stops being tiny. Measured on
+# v5e (bf16, vs XLA fused attention): 2.1x at (8,4096,8,64); 1.74x at the
+# celeba level-1 shape (32,1024,14,32); 1.56x at miniSD's (64,1024,8,40);
+# 0.78x at 256 tokens — so dispatch at >= 1024, XLA below.
+_FLASH_MIN_Q_LEN = 1024
 _BLOCK_Q = 256
 _LANE = 128
 

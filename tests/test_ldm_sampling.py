@@ -97,3 +97,23 @@ def test_ensemble_trains_in_latent_space(outdir):
     ])
     rows = list(read_records(db))
     assert len(rows) == 2
+
+
+def test_unlearn_global_uses_diversity_entropy(outdir, full_dir):
+    """celeba-style workloads score diversity entropy, not FID (reference
+    unlearn.py:787-803)."""
+    from group_attribution_for_diffusion_models_tpu.cli import unlearn
+    from group_attribution_for_diffusion_models_tpu.utils import read_records
+
+    db = os.path.join(outdir, "unlearn_global_db.jsonl")
+    unlearn.main([
+        "--dataset", DATASET, "--method", "gd", "--load", full_dir,
+        "--removal_dist", "shapley", "--removal_seed", "1",
+        "--model_behavior", "global", "--training_steps", "2",
+        "--n_samples", "4", "--num_inference_steps", "2",
+        "--outdir", outdir, "--db", db,
+    ])
+    rows = list(read_records(db))
+    assert len(rows) == 1
+    assert "entropy" in rows[0] and "fid_value" not in rows[0]
+    assert rows[0]["entropy"] >= 0.0
