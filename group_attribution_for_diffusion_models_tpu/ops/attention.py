@@ -33,7 +33,10 @@ import jax.numpy as jnp
 # Flash kernel pays off once the score matrix stops being tiny. Measured on
 # v5e (bf16, vs XLA fused attention): 2.1x at (8,4096,8,64); 1.74x at the
 # celeba level-1 shape (32,1024,14,32); 1.56x at miniSD's (64,1024,8,40);
-# 0.78x at 256 tokens — so dispatch at >= 1024, XLA below.
+# 0.78x at 256 tokens — so dispatch at >= 1024, XLA below. End to end this
+# is 1.23x on the celeba DDIM sampling loop (the behavior-scoring hot path;
+# forward-only, so the kernel covers it fully) and ~1x on the conv-dominated
+# train step (whose backward recomputes through XLA anyway).
 _FLASH_MIN_Q_LEN = 1024
 _BLOCK_Q = 256
 _LANE = 128
