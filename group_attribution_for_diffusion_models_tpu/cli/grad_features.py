@@ -114,6 +114,20 @@ def main(argv=None):
         dataset = create_dataset(args.dataset, train=True)
         images = dataset.images
         labels = dataset.labels
+        if cfg.vqvae is not None:
+            # LDM workloads: gradients live in the VQ latent space the U-Net
+            # was trained in (the reference computes d_trak grads through the
+            # latent pipeline the same way); reuse the shared encode cache.
+            from ..models.vqvae import load_vqvae, precompute_latents
+
+            vqvae, vq_vars = load_vqvae(cfg.vqvae, args.vqvae_weights)
+            cache = os.path.join(args.outdir, args.dataset, "precomputed_emb",
+                                 "vqvae_latents.npy")
+            images = (
+                precompute_latents(vqvae, vq_vars, images, batch_size=32,
+                                   cache_path=cache)
+                * cfg.vqvae.scaling_factor
+            )
     else:
         shape = (args.n_samples, spec.sample_size, spec.sample_size, spec.in_channels)
 
@@ -122,9 +136,12 @@ def main(argv=None):
             return sample_loop(
                 model.apply, state.ema_params, schedule, cfg.scheduler, shape,
                 key, num_inference_steps=args.num_inference_steps, kind="ddim",
+                postprocess=cfg.vqvae is None,
             )
 
-        images = np.asarray(gen(jax.random.PRNGKey(args.seed))) * 2.0 - 1.0
+        images = np.asarray(gen(jax.random.PRNGKey(args.seed)))
+        if cfg.vqvae is None:
+            images = images * 2.0 - 1.0  # [0,1] pixels back to model space
         labels = np.zeros(len(images), np.int64)
     if args.max_examples:
         images, labels = images[: args.max_examples], labels[: args.max_examples]

@@ -40,6 +40,7 @@ def sample_loop(
     kind: Optional[str] = None,
     encoder_hidden_states: Optional[jnp.ndarray] = None,
     decode_fn: Optional[Callable] = None,
+    postprocess: bool = True,
 ) -> jnp.ndarray:
     """Generate a batch of images/latents. `kind` defaults to spec.kind.
 
@@ -86,6 +87,8 @@ def sample_loop(
         return x, None
 
     x, _ = jax.lax.scan(body, x, (ts, ts_prev, step_keys))
+    if not postprocess:
+        return x  # raw model-space output (e.g. unclipped LDM latents)
     if decode_fn is not None:
         x = decode_fn(x)
     return jnp.clip(x / 2.0 + 0.5, 0.0, 1.0)

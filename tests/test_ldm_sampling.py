@@ -117,3 +117,27 @@ def test_unlearn_global_uses_diversity_entropy(outdir, full_dir):
     assert len(rows) == 1
     assert "entropy" in rows[0] and "fid_value" not in rows[0]
     assert rows[0]["entropy"] >= 0.0
+
+
+def test_grad_features_in_latent_space(outdir, full_dir, tmp_path):
+    """TRAK features for LDM workloads run in the VQ latent space (both the
+    train source, which encodes, and the generated source, which keeps raw
+    unclipped latents)."""
+    from group_attribution_for_diffusion_models_tpu.cli import grad_features
+
+    save = str(tmp_path / "feats.npz")
+    grad_features.main([
+        "--dataset", DATASET, "--load", full_dir, "--source", "train",
+        "--proj_dim", "16", "--num_timesteps", "2", "--batch_size", "16",
+        "--max_examples", "16", "--outdir", outdir, "--save_path", save,
+    ])
+    grad_features.main([
+        "--dataset", DATASET, "--load", full_dir, "--source", "generated",
+        "--proj_dim", "16", "--num_timesteps", "2", "--batch_size", "4",
+        "--n_samples", "4", "--num_inference_steps", "2",
+        "--outdir", outdir, "--save_path", save,
+    ])
+    store = np.load(save)
+    assert store["train_features"].shape == (16, 16)
+    assert store["gen_features"].shape == (4, 16)
+    assert np.isfinite(store["train_features"]).all()
