@@ -57,6 +57,9 @@ def parse_args(argv=None):
     parser.add_argument("--no_duplicate", action="store_true", default=True)
     parser.add_argument("--clip_weights", type=str, default=None)
     parser.add_argument("--aesthetic_weights", type=str, default=None)
+    parser.add_argument("--vae_weights", type=str, default=None,
+                        help="converted AutoencoderKL params (.npy) for "
+                             "decoding SD latents before image metrics")
     return parser.parse_args(argv)
 
 
@@ -108,19 +111,44 @@ def main(argv=None):
     shape = (args.n_samples, size, size, ch)
     ehs_b = jnp.broadcast_to(ehs, (args.n_samples,) + ehs.shape[1:])
 
+    # SD diffuses KL-VAE latents: generate RAW latents, decode to pixels for
+    # every image metric (the reference decodes through the pipeline's VAE,
+    # compute_model_behaviors.py:310-433), and keep the latents for the
+    # diffusion-loss behavior.
+    if synthetic:
+        # Inverse of the trainer's fake channel-mean encode.
+        def decode(z):
+            return jnp.repeat(jnp.mean(z, axis=-1, keepdims=True), 3, axis=-1)
+    else:
+        from ..config.registry import MINISD_VAE
+        from ..models.vqvae import AutoencoderKL
+
+        vae = AutoencoderKL(MINISD_VAE)
+        if args.vae_weights:
+            vae_vars = {"params": np.load(args.vae_weights, allow_pickle=True).item()}
+        else:
+            vae_vars = vae.init(jax.random.PRNGKey(7),
+                                jnp.zeros((1, 256, 256, 3)))
+            print("WARNING: VAE running random-init (no --vae_weights); "
+                  "decoded images are not reference-comparable")
+
+        def decode(z):
+            return vae.apply(vae_vars, z, method=vae.decode)
+
     @jax.jit
     def generate(params, key):
-        return sample_loop(
+        lat = sample_loop(
             model.apply, params, schedule, sched_spec, shape, key,
             num_inference_steps=args.num_inference_steps, kind="ddim",
-            encoder_hidden_states=ehs_b,
+            encoder_hidden_states=ehs_b, postprocess=False,
         )
+        return lat, jnp.clip(decode(lat) / 2.0 + 0.5, 0.0, 1.0)
 
     times = {}
     t0 = time.time()
     key = jax.random.PRNGKey(args.seed)
-    imgs_ref = generate(ref_params, key)
-    imgs_sub = generate(subset_params, key)  # SAME key: paired generation
+    lat_ref, imgs_ref = generate(ref_params, key)
+    lat_sub, imgs_sub = generate(subset_params, key)  # SAME key: paired generation
     jax.block_until_ready(imgs_sub)
     times["generation"] = time.time() - t0
 
@@ -159,9 +187,12 @@ def main(argv=None):
     aesthetic = np.asarray(aest.apply(aest_vars, jnp.asarray(emb_sub)))
     times["clip_aesthetic"] = time.time() - t0
 
-    # Diffusion loss of the subset model on the reference generations.
+    # Diffusion loss of the subset model on the reference generations — in
+    # latent space, directly on the sampled latents (the reference re-encodes
+    # decoded images; the raw latents are the same thing without the VAE
+    # round-trip error).
     t0 = time.time()
-    x = imgs_ref * 2.0 - 1.0
+    x = lat_ref
 
     @jax.jit
     def diff_loss(params, key):
