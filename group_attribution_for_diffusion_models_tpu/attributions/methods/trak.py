@@ -82,19 +82,22 @@ def make_grad_feature_fn(
     t_strategy: str = "uniform",
     proj_seed: int = 0,
     params_filter: Optional[Callable] = None,
+    conditional: bool = False,
 ):
-    """Build a jitted (params, images, key) -> (B, proj_dim) feature extractor.
+    """Build a jitted (params, images, key[, ehs]) -> (B, proj_dim) extractor.
 
     `params_filter` optionally maps the full param tree to the differentiated
     sub-tree (e.g. LoRA-only features, reference grad_text_to_image_lora.py);
     it must return (trainable_tree, merge_fn) where merge_fn(trainable) -> full
-    params.
+    params. With `conditional=True` the extractor takes per-sample
+    encoder_hidden_states (B, 77, D) as a fourth argument (the SD text-to-
+    image path, reference grad_text_to_image_lora.py:591-724).
     """
     f = _output_fn(output_fn)
     ts = feature_timesteps(spec.num_train_timesteps, num_timesteps, t_strategy)
     ts_arr = jnp.asarray(ts)
 
-    def per_sample_grad(params, image, noise, t):
+    def per_sample_grad(params, image, noise, t, ehs=None):
         if params_filter is not None:
             trainable, merge_fn = params_filter(params)
         else:
@@ -103,30 +106,37 @@ def make_grad_feature_fn(
         def scalar_out(tr):
             p = merge_fn(tr)
             x_t = add_noise(schedule, image[None], noise[None], t[None])
-            eps = apply_fn({"params": p}, x_t, t[None])
+            if ehs is not None:
+                eps = apply_fn({"params": p}, x_t, t[None], ehs[None])
+            else:
+                eps = apply_fn({"params": p}, x_t, t[None])
             return f(eps[0], noise[0])
 
         return jax.grad(scalar_out)(trainable)
 
+    in_axes = (None, 0, 0, 0, 0) if conditional else (None, 0, 0, 0)
+
     @jax.jit
-    def features(params, images, key):
+    def features(params, images, key, encoder_hidden_states=None):
         b = images.shape[0]
+        extra = (encoder_hidden_states,) if conditional else ()
 
         def for_timestep(carry, t_scalar):
             acc, key = carry
             key, k_n = jax.random.split(key)
             noise = jax.random.normal(k_n, images.shape)
             t_b = jnp.full((b,), t_scalar, jnp.int32)
-            grads = jax.vmap(per_sample_grad, in_axes=(None, 0, 0, 0))(
-                params, images, noise, t_b
+            grads = jax.vmap(per_sample_grad, in_axes=in_axes)(
+                params, images, noise, t_b, *extra
             )
             leaves = jax.tree_util.tree_leaves(grads)
             flat = jnp.concatenate([l.reshape(b, -1) for l in leaves], axis=1)
             return (acc + flat, key), None
 
         leaves_shape = jax.eval_shape(
-            lambda: jax.vmap(per_sample_grad, in_axes=(None, 0, 0, 0))(
-                params, images, jnp.zeros_like(images), jnp.zeros((b,), jnp.int32)
+            lambda: jax.vmap(per_sample_grad, in_axes=in_axes)(
+                params, images, jnp.zeros_like(images), jnp.zeros((b,), jnp.int32),
+                *extra
             )
         )
         dim = sum(
@@ -147,23 +157,39 @@ def make_journey_feature_fn(
     output_fn: str = "loss",
     proj_dim: int = 4096,
     proj_seed: int = 0,
+    params_filter: Optional[Callable] = None,
+    conditional: bool = False,
 ):
     """Journey-TRAK features: gradients at latents captured along the actual
     sampling trajectory (reference d_trak_grad.py:450-494), instead of fresh
     q-sample noisings. Input: trajectory (T, B, ...) + timesteps (T,) from
-    diffusion.sampling.sample_with_trajectory; output (B, proj_dim)."""
+    diffusion.sampling.sample_with_trajectory; output (B, proj_dim).
+    `params_filter`/`conditional` as in make_grad_feature_fn (the SD LoRA
+    journey path, reference grad_text_to_image_lora.py:729-764)."""
     f = _output_fn(output_fn)
 
-    def per_sample_grad(params, latent, noise, t):
-        def scalar_out(p):
-            eps = apply_fn({"params": p}, latent[None], t[None])
+    def per_sample_grad(params, latent, noise, t, ehs=None):
+        if params_filter is not None:
+            trainable, merge_fn = params_filter(params)
+        else:
+            trainable, merge_fn = params, lambda p: p
+
+        def scalar_out(tr):
+            p = merge_fn(tr)
+            if ehs is not None:
+                eps = apply_fn({"params": p}, latent[None], t[None], ehs[None])
+            else:
+                eps = apply_fn({"params": p}, latent[None], t[None])
             return f(eps[0], noise[0])
 
-        return jax.grad(scalar_out)(params)
+        return jax.grad(scalar_out)(trainable)
+
+    in_axes = (None, 0, 0, 0, 0) if conditional else (None, 0, 0, 0)
 
     @jax.jit
-    def features(params, trajectory, timesteps, key):
+    def features(params, trajectory, timesteps, key, encoder_hidden_states=None):
         t_steps, b = trajectory.shape[0], trajectory.shape[1]
+        extra = (encoder_hidden_states,) if conditional else ()
 
         def for_point(carry, inputs):
             acc, key = carry
@@ -171,17 +197,17 @@ def make_journey_feature_fn(
             key, k_n = jax.random.split(key)
             noise = jax.random.normal(k_n, latents.shape)
             t_b = jnp.full((b,), t_scalar, jnp.int32)
-            grads = jax.vmap(per_sample_grad, in_axes=(None, 0, 0, 0))(
-                params, latents, noise, t_b
+            grads = jax.vmap(per_sample_grad, in_axes=in_axes)(
+                params, latents, noise, t_b, *extra
             )
             leaves = jax.tree_util.tree_leaves(grads)
             flat = jnp.concatenate([l.reshape(b, -1) for l in leaves], axis=1)
             return (acc + flat, key), None
 
         shape_probe = jax.eval_shape(
-            lambda: jax.vmap(per_sample_grad, in_axes=(None, 0, 0, 0))(
+            lambda: jax.vmap(per_sample_grad, in_axes=in_axes)(
                 params, trajectory[0], jnp.zeros_like(trajectory[0]),
-                jnp.zeros((b,), jnp.int32),
+                jnp.zeros((b,), jnp.int32), *extra
             )
         )
         dim = sum(

@@ -69,6 +69,8 @@ def _train_chunked(args, dist, seed_start, num, db):
             argv += ["--batch_size", str(args.batch_size)]
         if args.datamodel_alpha and dist == "datamodel":
             argv += ["--datamodel_alpha", str(args.datamodel_alpha)]
+        if args.vqvae_weights:
+            argv += ["--vqvae_weights", args.vqvae_weights]
         train_ensemble.main(argv)
 
 

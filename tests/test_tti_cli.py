@@ -135,3 +135,51 @@ def test_lora_ensemble_sharding_matches_unsharded(tmp_path):
     assert sharded.keys() == unsharded.keys() and len(sharded) == 4
     for seed in sharded:
         np.testing.assert_allclose(sharded[seed], unsharded[seed], rtol=1e-4)
+
+
+def test_grad_features_tti_lora_only(tmp_path):
+    """SD TRAK features: LoRA-only per-sample gradients under text
+    conditioning, for train / generated / journey sources, assembled by
+    cli.traks (reference grad_text_to_image_lora.py)."""
+    from group_attribution_for_diffusion_models_tpu.cli import (
+        grad_features_tti,
+        train_text_to_image_lora as tti,
+        traks,
+    )
+
+    out = str(tmp_path / "out")
+    tti.main([
+        "--dataset", "synthetic_32x8", "--outdir", out,
+        "--max_train_steps", "2", "--train_batch_size", "4", "--rank", "2",
+    ])
+    lora = os.path.join(
+        out, "seed42", "synthetic_32x8_post_impressionism", "retrain",
+        "models", "shapley_seed=0", "lora_weights.npz",
+    )
+    assert os.path.exists(lora)
+
+    store = str(tmp_path / "feats.npz")
+    common = ["--dataset", "synthetic_32x8", "--outdir", out,
+              "--lora_dir", lora, "--save_path", store,
+              "--proj_dim", "8", "--num_timesteps", "2", "--batch_size", "8"]
+    grad_features_tti.main(common + ["--source", "train", "--max_examples", "16"])
+    grad_features_tti.main(common + [
+        "--source", "generated", "--n_samples", "4", "--num_inference_steps", "2",
+    ])
+    data = np.load(store)
+    assert data["train_features"].shape == (16, 8)
+    assert data["gen_features"].shape == (4, 8)
+    assert np.isfinite(data["train_features"]).all()
+    assert os.path.exists(tmp_path / "group.csv")
+
+    # Journey features overwrite gen_features from the trajectory capture.
+    grad_features_tti.main(common + [
+        "--source", "generated_journey", "--n_samples", "4",
+        "--num_inference_steps", "2",
+    ])
+    data = np.load(store)
+    assert data["gen_features"].shape == (4, 8)
+
+    save_dir = str(tmp_path / "trak_out")
+    traks.main(["--feature_store", store, "--save_dir", save_dir])
+    assert os.path.exists(os.path.join(save_dir, "attrs_trak.npy"))
