@@ -94,7 +94,7 @@ def kernel_shap_ridge(
 def brute_force_shapley(num_players: int, value_fn) -> np.ndarray:
     """Exact Shapley values by full subset enumeration (test oracle only)."""
     from itertools import combinations
-    from math import comb, factorial
+    from math import factorial
 
     values = np.zeros(num_players)
     players = list(range(num_players))

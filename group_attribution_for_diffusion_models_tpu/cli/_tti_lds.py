@@ -12,13 +12,12 @@ from __future__ import annotations
 
 import argparse
 import os
-from typing import List, Optional, Tuple
 
 import numpy as np
 from scipy.stats import pearsonr, spearmanr
 
 from ..attributions import evaluate_lds
-from ..attributions.methods import data_banzhaf, data_shapley
+from ..attributions.methods import data_shapley
 from ..utils.jsonl import filter_records
 
 

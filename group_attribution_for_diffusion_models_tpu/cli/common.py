@@ -18,7 +18,7 @@ from typing import Dict, Optional, Tuple
 import numpy as np
 
 from ..config import constants
-from ..data import create_dataset, sample_removal
+from ..data import sample_removal
 from ..data.datasets import ArrayDataset
 
 

@@ -23,7 +23,6 @@ import os
 import subprocess
 import sys
 
-import numpy as np
 
 PKG = "group_attribution_for_diffusion_models_tpu"
 

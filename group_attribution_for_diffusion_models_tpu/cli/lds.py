@@ -12,7 +12,6 @@ sizes, with optional bootstrap CIs.
 from __future__ import annotations
 
 import argparse
-import os
 
 import numpy as np
 

@@ -15,7 +15,6 @@ Usage (smoke):
 from __future__ import annotations
 
 import argparse
-import os
 
 import numpy as np
 

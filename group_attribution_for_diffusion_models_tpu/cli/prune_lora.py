@@ -12,7 +12,6 @@ from __future__ import annotations
 import argparse
 import os
 
-import numpy as np
 
 from ..models.lora import lora_num_params, lora_ranks, prune_lora
 from .train_text_to_image_lora import _load_lora_npz, _save_lora_npz

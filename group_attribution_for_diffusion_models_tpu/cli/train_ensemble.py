@@ -29,7 +29,7 @@ from ..diffusion.sampling import sample_loop
 from ..models import UNet2D
 from ..parallel import EnsembleTrainer, make_mesh, unstack_state
 from ..training import TrainState, make_optimizer
-from ..utils import append_record, shard_path
+from ..utils import append_record
 from ..utils.ckpt import load_checkpoint, load_unet_spec, save_checkpoint
 from .common import (
     add_common_args,

@@ -42,7 +42,7 @@ from ..data.groups import group_removal_split
 from ..diffusion import make_schedule
 from ..models import UNet2D
 from ..models.clip_text import CLIPTextEncoder, load_tokenizer
-from ..models.lora import lora_init, lora_merge, lora_num_params, prune_lora
+from ..models.lora import lora_init, lora_merge, lora_num_params
 from ..training.state import make_optimizer
 from ..utils import append_record
 from .common import provenance_row

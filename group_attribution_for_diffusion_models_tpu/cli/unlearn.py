@@ -21,7 +21,6 @@ import time
 
 import numpy as np
 
-from ..config import constants
 from ..data import batch_iterator, create_dataset
 from ..diffusion import make_schedule
 from ..diffusion.sampling import make_sampler

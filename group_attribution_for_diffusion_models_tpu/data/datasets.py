@@ -31,7 +31,7 @@ import dataclasses
 import os
 import pickle
 import struct
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import List, Optional, Tuple
 
 import numpy as np
 

@@ -21,7 +21,7 @@ injection, reference text_to_image/train_text_to_image_lora.py:776-820).
 
 from __future__ import annotations
 
-from typing import Callable, Dict, List, Mapping, Optional, Sequence, Tuple
+from typing import Dict, List, Mapping, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

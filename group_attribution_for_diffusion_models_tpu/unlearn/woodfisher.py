@@ -21,7 +21,7 @@ perturb parameters by alpha * H^-1 (g_removed - g_remaining)-direction.
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Tuple
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
