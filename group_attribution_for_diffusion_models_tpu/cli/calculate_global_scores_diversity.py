@@ -45,6 +45,12 @@ def parse_args(argv=None):
     parser.add_argument("--batch_size", type=int, default=64)
     parser.add_argument("--num_clusters", type=int, default=20)
     parser.add_argument("--inception_weights", type=str, default=None)
+    parser.add_argument("--blip_weights", type=str, default=None,
+                        help="converted BLIP vision-tower weights: use the "
+                             "reference's BLIP-VQA embedding extractor "
+                             "(diversity_score.py:89-91) instead of Inception")
+    parser.add_argument("--blip_tiny", action="store_true", default=False,
+                        help="tiny BLIP tower (smoke tests)")
     parser.add_argument("--seed", type=int, default=42)
     return parser.parse_args(argv)
 
@@ -99,8 +105,27 @@ def main(argv=None):
         if samples.shape[-1] == 1:
             samples = np.repeat(samples, 3, axis=-1)
 
-        inc, variables = load_inception(args.inception_weights)
-        extract = make_feature_fn(inc, variables, batch_size=args.batch_size)
+        # Embedding tower: BLIP-VQA (the reference's extractor) when
+        # requested, InceptionV3 pool3 otherwise.
+        if args.blip_weights or args.blip_tiny:
+            from ..models.blip_vision import load_blip_vision
+
+            blip, blip_vars = load_blip_vision(args.blip_weights,
+                                               tiny=args.blip_tiny)
+
+            @jax.jit
+            def _embed(batch):
+                return blip.apply(blip_vars, batch)
+
+            def extract(images):
+                outs = [
+                    np.asarray(_embed(jnp.asarray(images[i:i + args.batch_size])))
+                    for i in range(0, len(images), args.batch_size)
+                ]
+                return np.concatenate(outs), None
+        else:
+            inc, variables = load_inception(args.inception_weights)
+            extract = make_feature_fn(inc, variables, batch_size=args.batch_size)
         gen_emb, _ = extract(samples)
         if ref_emb is None:
             ref = create_dataset(args.dataset, train=True)

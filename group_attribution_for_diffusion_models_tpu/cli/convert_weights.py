@@ -7,6 +7,7 @@ download checkpoints elsewhere, then convert here):
                -> orbax checkpoint dir loadable by cli.main --load
     inception  pytorch_fid InceptionV3 .pt -> .npz variables
     clip_text / clip_vision   HF state dicts -> .npz params
+    blip_vision  HF BlipVisionModel state dict -> .npy params (diversity CLI)
     vqvae      diffusers VQModel state dict -> .npy params (cli.main --vqvae_weights)
     aesthetic  LAION linear head .pt -> .npz {kernel, bias}
 """
@@ -50,7 +51,8 @@ def parse_args(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--kind", type=str, required=True,
                         choices=["unet", "inception", "clip_text",
-                                 "clip_vision", "aesthetic"])
+                                 "clip_vision", "blip_vision", "vqvae",
+                                 "aesthetic"])
     parser.add_argument("--src", type=str, required=True,
                         help="torch checkpoint / safetensors file")
     parser.add_argument("--dst", type=str, required=True)
@@ -115,6 +117,44 @@ def main(argv=None):
         from ..models.clip_vision import convert_clip_vision_state_dict
 
         np.savez(args.dst, **_flatten(convert_clip_vision_state_dict(sd)))
+    elif args.kind == "blip_vision":
+        from ..models.blip_vision import convert_blip_vision_state_dict
+
+        os.makedirs(os.path.dirname(os.path.abspath(args.dst)), exist_ok=True)
+        np.save(args.dst, convert_blip_vision_state_dict(sd))
+    elif args.kind == "vqvae":
+        from ..models.convert_diffusers import convert_vqvae_state_dict
+
+        params = convert_vqvae_state_dict(sd)
+        # Shape-check against the workload spec before writing.
+        import jax
+        import jax.numpy as jnp
+
+        from ..models.vqvae import VQVAE
+        from .common import config_for
+
+        cfg = config_for(args.dataset)
+        if cfg.vqvae is None:
+            raise SystemExit(f"{args.dataset} is not a latent workload")
+        vq = VQVAE(cfg.vqvae)
+        ref = vq.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, cfg.vqvae.sample_size, cfg.vqvae.sample_size,
+                       cfg.vqvae.in_channels)),
+        )["params"]
+        ref_shapes = {k: v.shape for k, v in _flatten(ref).items()}
+        got_shapes = {k: v.shape for k, v in _flatten(params).items()}
+        missing = sorted(set(ref_shapes) - set(got_shapes))
+        mismatched = sorted(k for k in set(ref_shapes) & set(got_shapes)
+                            if ref_shapes[k] != got_shapes[k])
+        if missing or mismatched:
+            raise SystemExit(
+                f"vqvae conversion does not match the {args.dataset} spec: "
+                f"missing={missing[:5]} mismatched={mismatched[:5]}"
+            )
+        os.makedirs(os.path.dirname(os.path.abspath(args.dst)), exist_ok=True)
+        # .npy pickled dict: the format cli.main --vqvae_weights loads.
+        np.save(args.dst, params)
     elif args.kind == "aesthetic":
         # LAION head: Linear(768 -> 1): weight (1, 768), bias (1,).
         w = sd.get("layers.0.weight", sd.get("weight"))

@@ -70,9 +70,9 @@ class CLIPLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, mask):
-        h = nn.LayerNorm(name="layer_norm1")(x)
+        h = nn.LayerNorm(epsilon=1e-5, name="layer_norm1")(x)
         x = x + CLIPAttention(self.width, self.heads, name="self_attn")(h, mask)
-        h = nn.LayerNorm(name="layer_norm2")(x)
+        h = nn.LayerNorm(epsilon=1e-5, name="layer_norm2")(x)
         h = nn.Dense(self.width * 4, name="fc1")(h)
         h = quick_gelu(h)
         x = x + nn.Dense(self.width, name="fc2")(h)
@@ -101,7 +101,7 @@ class CLIPTextEncoder(nn.Module):
         causal = jnp.triu(jnp.full((n, n), -1e9), k=1)[None, None]
         for i in range(self.layers):
             x = CLIPLayer(self.width, self.heads, name=f"layer_{i}")(x, causal)
-        return nn.LayerNorm(name="final_layer_norm")(x)
+        return nn.LayerNorm(epsilon=1e-5, name="final_layer_norm")(x)
 
 
 class HashTokenizer:

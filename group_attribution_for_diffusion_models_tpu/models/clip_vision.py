@@ -64,13 +64,13 @@ class CLIPVisionEncoder(nn.Module):
             "position_embedding", nn.initializers.normal(0.02), (n + 1, self.width)
         )
         x = x + pos[None]
-        x = nn.LayerNorm(name="pre_layernorm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="pre_layernorm")(x)
 
         mask = jnp.zeros((1, 1, n + 1, n + 1))
         for i in range(self.layers):
             x = CLIPLayer(self.width, self.heads, name=f"layer_{i}")(x, mask)
 
-        pooled = nn.LayerNorm(name="post_layernorm")(x[:, 0])
+        pooled = nn.LayerNorm(epsilon=1e-5, name="post_layernorm")(x[:, 0])
         return nn.Dense(self.proj_dim, use_bias=False, name="visual_projection")(pooled)
 
 

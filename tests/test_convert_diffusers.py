@@ -73,3 +73,47 @@ def test_legacy_attention_names():
         np.asarray(params["mid_attn"]["to_q"]["kernel"]),
         back["mid_attn"]["to_q"]["kernel"],
     )
+
+
+def test_vqvae_export_convert_roundtrip():
+    """export_vqvae_state_dict -> convert_vqvae_state_dict is the identity on
+    a tiny VQVAE param tree (torch-layout name/shape mapping is exact)."""
+    import jax
+    import jax.numpy as jnp
+
+    from group_attribution_for_diffusion_models_tpu.config.registry import (
+        VQVAESpec,
+    )
+    from group_attribution_for_diffusion_models_tpu.models.convert_diffusers import (
+        convert_vqvae_state_dict,
+        export_vqvae_state_dict,
+    )
+    from group_attribution_for_diffusion_models_tpu.models.vqvae import VQVAE
+
+    spec = VQVAESpec(
+        sample_size=16, block_out_channels=(8, 16, 16), layers_per_block=1,
+        num_vq_embeddings=32, norm_num_groups=4,
+    )
+    vq = VQVAE(spec)
+    params = vq.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)))["params"]
+
+    sd = export_vqvae_state_dict(jax.tree_util.tree_map(np.asarray, params))
+    assert "quantize.embedding.weight" in sd
+    assert "encoder.mid_block.attentions.0.to_q.weight" in sd
+    assert "decoder.up_blocks.0.upsamplers.0.conv.weight" in sd
+
+    back = convert_vqvae_state_dict(sd)
+    flat_a = jax.tree_util.tree_leaves_with_path(params)
+    flat_b = {jax.tree_util.keystr(k): v
+              for k, v in jax.tree_util.tree_leaves_with_path(back)}
+    assert len(flat_a) == len(flat_b)
+    for k, v in flat_a:
+        key = jax.tree_util.keystr(k)
+        assert key in flat_b, key
+        np.testing.assert_array_equal(np.asarray(v), flat_b[key], err_msg=key)
+
+    # Converted tree must run through decode.
+    imgs = vq.apply({"params": back},
+                    jnp.zeros((1, 4, 4, spec.latent_channels)),
+                    method=vq.decode)
+    assert imgs.shape == (1, 16, 16, 3)

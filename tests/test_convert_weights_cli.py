@@ -76,3 +76,69 @@ def test_aesthetic_head_conversion(tmp_path):
     store = np.load(dst)
     assert store["kernel"].shape == (16, 1)
     assert store["bias"].shape == (1,)
+
+
+def test_convert_vqvae_cli_roundtrip(tmp_path):
+    """convert_weights --kind vqvae: torch-layout VQModel dict -> .npy tree
+    that cli.main --vqvae_weights / load_vqvae consume."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from group_attribution_for_diffusion_models_tpu.cli import convert_weights
+    from group_attribution_for_diffusion_models_tpu.cli.common import config_for
+    from group_attribution_for_diffusion_models_tpu.models.convert_diffusers import (
+        export_vqvae_state_dict,
+    )
+    from group_attribution_for_diffusion_models_tpu.models.vqvae import (
+        VQVAE,
+        load_vqvae,
+    )
+
+    cfg = config_for("synthetic_32x16_ldm")
+    vq = VQVAE(cfg.vqvae)
+    params = vq.init(jax.random.PRNGKey(3), jnp.zeros((1, 16, 16, 3)))["params"]
+    sd = {k: torch.tensor(np.asarray(v))
+          for k, v in export_vqvae_state_dict(
+              jax.tree_util.tree_map(np.asarray, params)).items()}
+    src = str(tmp_path / "vq.pt")
+    torch.save(sd, src)
+
+    dst = str(tmp_path / "vq_params.npy")
+    convert_weights.main([
+        "--kind", "vqvae", "--src", src, "--dst", dst,
+        "--dataset", "synthetic_32x16_ldm",
+    ])
+    _, variables = load_vqvae(cfg.vqvae, dst)
+    img = vq.apply(variables, jnp.zeros((1, 4, 4, 3)), method=vq.decode)
+    want = vq.apply({"params": params}, jnp.zeros((1, 4, 4, 3)), method=vq.decode)
+    np.testing.assert_allclose(np.asarray(img), np.asarray(want), atol=1e-6)
+
+
+def test_convert_blip_cli(tmp_path):
+    import jax.numpy as jnp
+    import torch
+    import transformers
+
+    from group_attribution_for_diffusion_models_tpu.cli import convert_weights
+    from group_attribution_for_diffusion_models_tpu.models.blip_vision import (
+        BlipVisionTower,
+        load_blip_vision,
+    )
+
+    cfg = transformers.BlipVisionConfig(
+        hidden_size=32, num_hidden_layers=2, num_attention_heads=2,
+        intermediate_size=64, image_size=32, patch_size=8,
+    )
+    torch.manual_seed(0)
+    hf = transformers.BlipVisionModel(cfg).eval()
+    src = str(tmp_path / "blip.pt")
+    torch.save(hf.state_dict(), src)
+    dst = str(tmp_path / "blip_params.npy")
+    convert_weights.main(["--kind", "blip_vision", "--src", src, "--dst", dst])
+
+    model = BlipVisionTower(image_size=32, patch_size=8, width=32, layers=2,
+                            heads=2, mlp_dim=64)
+    _, variables = load_blip_vision(dst, tiny=True)
+    out = model.apply(variables, jnp.zeros((2, 32, 32, 3)))
+    assert out.shape == (2, 32)
