@@ -89,3 +89,34 @@ def test_timings_and_trace(tmp_path):
     assert set(d) == {"x_a_time", "x_b_time"}
     with trace(None):  # no-op path
         pass
+
+
+def test_load_tokenizer_real_vocab(tmp_path):
+    """load_tokenizer uses a real CLIP BPE when vocab files exist locally
+    (via transformers); the HashTokenizer only stands in without them."""
+    import json
+
+    from group_attribution_for_diffusion_models_tpu.models.clip_text import (
+        HashTokenizer,
+        load_tokenizer,
+    )
+
+    vocab = {"<|startoftext|>": 0, "<|endoftext|>": 1}
+    for w in ("a</w>", "painting</w>", "by</w>"):
+        vocab.setdefault(w, len(vocab))
+    for ch in "abcdefghijklmnopqrstuvwxyz":
+        vocab.setdefault(ch, len(vocab))
+        vocab.setdefault(ch + "</w>", len(vocab))
+    json.dump(vocab, open(tmp_path / "vocab.json", "w"))
+    (tmp_path / "merges.txt").write_text("#version: 0.2\n")
+
+    tokenize = load_tokenizer(str(tmp_path), max_length=12)
+    assert not isinstance(tokenize, HashTokenizer)
+    ids = tokenize(["a painting", "by"])
+    assert ids.shape == (2, 12)
+    assert ids[0, 0] == 0  # BOS
+    # With no merges the BPE stays at character level: 'a' -> a</w> = 2.
+    assert ids[0, 1] == vocab["a</w>"]
+    assert ids[1, -1] == 1  # EOS padding
+    # Missing vocab dir falls back to the deterministic hash tokenizer.
+    assert isinstance(load_tokenizer(str(tmp_path / "nope")), HashTokenizer)
