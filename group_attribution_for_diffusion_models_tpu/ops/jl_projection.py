@@ -40,15 +40,26 @@ def _on_tpu() -> bool:
 
 
 def _jl_kernel(seed_ref, g_ref, out_ref):
-    """One (d-tile i, p-tile j) grid cell: out += G_tile @ R_tile(seed,i,j)."""
-    i = pl.program_id(0)  # d tile
-    j = pl.program_id(1)  # p tile
+    """One (p-tile j, d-tile i) grid cell: out += G_tile @ R_tile(seed,i,j).
 
-    # Deterministic per-tile seed, independent of grid iteration order.
+    Grid order matters: the accumulated output block must be revisited on
+    CONSECUTIVE grid steps, so the reduction (d) axis is the INNER grid dim —
+    out block j stays VMEM-resident while every d-tile streams through.
+    (With d outer, the pipeline write-back/reload of partial sums silently
+    corrupts the accumulation once proj_dim spans multiple p-tiles.)
+    """
+    j = pl.program_id(0)  # p tile (outer)
+    i = pl.program_id(1)  # d tile (inner; accumulation axis)
+    tile_d, tile_p = g_ref.shape[1], out_ref.shape[1]
+
+    # Deterministic per-(i, j) seed, independent of grid iteration order.
     pltpu.prng_seed(seed_ref[0] + i * 1_000_003 + j * 7_919)
-    bits = pltpu.prng_random_bits((g_ref.shape[1], out_ref.shape[1]))
-    # Rademacher +-1 from the low bit.
-    r = jnp.where((bits & 1) == 1, 1.0, -1.0).astype(jnp.float32)
+    bits = pltpu.prng_random_bits((tile_d, tile_p))
+    # +-1.0f in two integer ops: the word's top bit becomes the float sign
+    # bit of 1.0f (0x3f800000) via bitcast — no compare/select/convert pass.
+    r = pltpu.bitcast(
+        (bits & jnp.uint32(0x80000000)) | jnp.uint32(0x3F800000), jnp.float32
+    )
 
     @pl.when(i == 0)
     def _():
@@ -122,7 +133,8 @@ def jl_project(
     if d_pad != d:
         grads = jnp.pad(grads, ((0, 0), (0, d_pad - d)))
 
-    grid = (d_pad // tile_d, p_pad // tile_p)
+    # p outer, d inner: the reduction axis must vary fastest (see _jl_kernel).
+    grid = (p_pad // tile_p, d_pad // tile_d)
     seed_arr = jnp.asarray([seed], jnp.int32)
 
     out = pl.pallas_call(
@@ -133,11 +145,11 @@ def jl_project(
             in_specs=[
                 # index_map takes the scalar-prefetch ref as trailing arg.
                 pl.BlockSpec(
-                    (b, tile_d), lambda i, j, seed: (0, i), memory_space=pltpu.VMEM
+                    (b, tile_d), lambda j, i, seed: (0, i), memory_space=pltpu.VMEM
                 ),
             ],
             out_specs=pl.BlockSpec(
-                (b, tile_p), lambda i, j, seed: (0, j), memory_space=pltpu.VMEM
+                (b, tile_p), lambda j, i, seed: (0, j), memory_space=pltpu.VMEM
             ),
         ),
         out_shape=jax.ShapeDtypeStruct((b, p_pad), jnp.float32),

@@ -113,3 +113,24 @@ def test_aggregate_by_group():
     np.testing.assert_allclose(aggregate_by_group(scores, labels, "sum"), [3.0, 7.0])
     np.testing.assert_allclose(aggregate_by_group(scores, labels, "mean"), [1.5, 3.5])
     np.testing.assert_allclose(aggregate_by_group(scores, labels, "max"), [2.0, 4.0])
+
+
+def test_jl_pallas_multi_ptile_accumulation():
+    """Regression: with proj_dim spanning several p-tiles the reduction axis
+    must be the inner grid dim — the old (d-outer) grid silently doubled the
+    accumulated output on TPU. On CPU this exercises the XLA fallback; on TPU
+    the real kernel."""
+    import jax
+    import jax.numpy as jnp
+
+    from group_attribution_for_diffusion_models_tpu.ops.jl_projection import (
+        jl_project,
+    )
+
+    g = jax.random.normal(jax.random.PRNGKey(0), (8, 65536), jnp.float32)
+    out = jl_project(g, 4096, seed=0, tile_d=2048, tile_p=512)
+    ratio = np.asarray(
+        jnp.linalg.norm(out, axis=1) / jnp.linalg.norm(g, axis=1)
+    )
+    # JL preserves norms in expectation; the doubling bug gave ratio ~2.
+    assert abs(ratio.mean() - 1.0) < 0.2, ratio
