@@ -74,13 +74,20 @@ def parse_args(argv=None):
     parser.add_argument("--method", type=str, default="retrain",
                         choices=["retrain", "pruned_ft", "gd", "sparse_gd"])
     parser.add_argument("--removal_dist", type=str, default="shapley",
-                        choices=["uniform", "datamodel", "shapley", "loo", "aoi", "full"])
+                        choices=["uniform", "datamodel", "shapley", "loo",
+                                 "aoi", "full", "counterfactual"])
     parser.add_argument("--removal_seed", type=int, default=0)
     parser.add_argument("--num_seeds", type=int, default=1,
                         help=">1 trains an ensemble of subset LoRAs at once")
     parser.add_argument("--datamodel_alpha", type=float, default=0.5)
     parser.add_argument("--removal_unit", type=str, default="artist",
                         choices=["artist", "filename"])
+    parser.add_argument("--rank_file", type=str, default=None,
+                        help="unit-index ranking .npy for counterfactual "
+                             "removal (reference :596-604,991-1014)")
+    parser.add_argument("--masked_proportion", type=float, default=0.1)
+    parser.add_argument("--direction", type=str, default="top",
+                        choices=["top", "bottom"])
     parser.add_argument("--rank", type=int, default=256)
     parser.add_argument("--learning_rate", type=float, default=3e-4)
     parser.add_argument("--max_train_steps", type=int, default=200)
@@ -156,6 +163,28 @@ def main(argv=None):
         if args.removal_dist == "full":
             removals.append((np.arange(len(files)), np.array([], np.int64),
                              np.ones(len(units), np.float32)))
+        elif args.removal_dist == "counterfactual":
+            # Deterministic: remove the top/bottom proportion of units by an
+            # attribution ranking (reference :596-604,991-1014).
+            if not args.rank_file:
+                raise SystemExit("counterfactual removal needs --rank_file")
+            from ..data.groups import counterfactual_split
+
+            remaining, removed = counterfactual_split(
+                files, units, np.load(args.rank_file),
+                args.masked_proportion, direction=args.direction,
+                unit=args.removal_unit,
+            )
+            unit_of = (
+                [artist_from_filename(f) for f in files]
+                if args.removal_unit == "artist"
+                else [os.path.basename(f) for f in files]
+            )
+            unit_index = {u: i for i, u in enumerate(units)}
+            kept = np.ones(len(units), np.float32)
+            for r in removed:
+                kept[unit_index[unit_of[r]]] = 0.0
+            removals.append((remaining, removed, kept))
         else:
             removals.append(
                 group_removal_split(
@@ -165,8 +194,13 @@ def main(argv=None):
             )
 
     def lora_file(seed):
-        leaf = ("full" if args.removal_dist == "full"
-                else f"{args.removal_dist}_seed={seed}")
+        if args.removal_dist == "full":
+            leaf = "full"
+        elif args.removal_dist == "counterfactual":
+            leaf = (f"counterfactual_{args.direction}"
+                    f"_{args.masked_proportion}")
+        else:
+            leaf = f"{args.removal_dist}_seed={seed}"
         return os.path.join(
             args.outdir, f"seed{args.opt_seed}",
             f"{args.dataset}_{args.cls}", args.method, "models", leaf,

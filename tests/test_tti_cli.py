@@ -183,3 +183,35 @@ def test_grad_features_tti_lora_only(tmp_path):
     save_dir = str(tmp_path / "trak_out")
     traks.main(["--feature_store", store, "--save_dir", save_dir])
     assert os.path.exists(os.path.join(save_dir, "attrs_trak.npy"))
+
+
+def test_counterfactual_removal_training(tmp_path):
+    """Counterfactual retrain: remove the top-proportion units by a ranking
+    file (reference train_text_to_image_lora.py:596-604,991-1014)."""
+    from group_attribution_for_diffusion_models_tpu.cli import (
+        train_text_to_image_lora as tti,
+    )
+    from group_attribution_for_diffusion_models_tpu.data import create_dataset
+
+    out = str(tmp_path / "out")
+    ds = create_dataset("synthetic_32x8", train=True)
+    n_units = len(set(ds.labels.tolist()))
+    rank = np.arange(n_units)  # unit indices, "best" first
+    rank_file = str(tmp_path / "rank.npy")
+    np.save(rank_file, rank)
+
+    tti.main([
+        "--dataset", "synthetic_32x8", "--outdir", out,
+        "--removal_dist", "counterfactual", "--rank_file", rank_file,
+        "--masked_proportion", "0.3", "--direction", "top",
+        "--max_train_steps", "2", "--train_batch_size", "4", "--rank", "2",
+    ])
+    leaf = os.path.join(
+        out, "seed42", "synthetic_32x8_post_impressionism", "retrain",
+        "models", "counterfactual_top_0.3",
+    )
+    assert os.path.exists(os.path.join(leaf, "lora_weights.npz"))
+    removed = [int(l) for l in
+               open(os.path.join(leaf, "removal_idx.csv")).read().split()[1:]]
+    # Top 30% of 10-ish units removed -> some but not all images gone.
+    assert 0 < len(removed) < len(ds)
