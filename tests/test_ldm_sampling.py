@@ -141,3 +141,20 @@ def test_grad_features_in_latent_space(outdir, full_dir, tmp_path):
     assert store["train_features"].shape == (16, 16)
     assert store["gen_features"].shape == (4, 16)
     assert np.isfinite(store["train_features"]).all()
+
+
+def test_combined_ldm_cross_attention_training(tmp_path):
+    """imagenette-style LDMTextToImage shape: VQ latents + cross-attention
+    U-Net + per-class caption embeddings, in one trainer invocation."""
+    from group_attribution_for_diffusion_models_tpu.cli import main as train_main
+
+    out = str(tmp_path)
+    train_main.main([
+        "--dataset", "synthetic_64x16_ldm_cond", "--method", "retrain",
+        "--removal_dist", "shapley", "--removal_seed", "0",
+        "--outdir", out, "--training_steps", "2", "--log_freq", "1",
+    ])
+    d = os.path.join(out, "synthetic_64x16_ldm_cond", "retrain", "models",
+                     "shapley", "shapley_seed=0")
+    assert os.path.isdir(d)
+    assert any(n.startswith("ckpt_") for n in os.listdir(d))
