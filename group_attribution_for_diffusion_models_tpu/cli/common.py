@@ -147,6 +147,11 @@ def add_common_args(parser: argparse.ArgumentParser) -> None:
         choices=["none", "jsonl", "wandb", "tensorboard"],
         help="training-scalar tracker (reference main.py:604-616 wandb opt)",
     )
+    parser.add_argument(
+        "--profile_dir", type=str, default=None,
+        help="write a jax.profiler trace of the training loop here "
+             "(inspect with TensorBoard/XProf)",
+    )
 
 
 def tracker_for(args, run_name: str):

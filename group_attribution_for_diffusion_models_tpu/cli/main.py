@@ -208,35 +208,39 @@ def main(argv=None):
 
     batches = batch_iterator(subset, min(batch_size, len(subset)), seed=args.opt_seed)
     tracker = tracker_for(args, f"{args.dataset}_{args.method}")
+
+    from ..utils.profiling import trace
+
     t_start = time.time()
     metrics = {}
-    for step_i in range(start_step, training_steps):
-        images, labels = next(batches)
-        ehs = class_emb[jnp.asarray(labels)] if class_emb is not None else None
-        state, metrics = step_fn(
-            state, jnp.asarray(images),
-            jax.random.PRNGKey(args.opt_seed * 1_000_003 + step_i),
-            encoder_hidden_states=ehs,
-        )
-        if (step_i + 1) % args.log_freq == 0 or step_i + 1 == training_steps:
-            el = time.time() - t_start
-            print(
-                f"Step[{step_i + 1}/{training_steps}] loss={float(metrics['loss']):.5f} "
-                f"grad_norm={float(metrics['grad_norm']):.4f} "
-                f"steps_time={el:.1f}s",
-                flush=True,
+    with trace(args.profile_dir):
+        for step_i in range(start_step, training_steps):
+            images, labels = next(batches)
+            ehs = class_emb[jnp.asarray(labels)] if class_emb is not None else None
+            state, metrics = step_fn(
+                state, jnp.asarray(images),
+                jax.random.PRNGKey(args.opt_seed * 1_000_003 + step_i),
+                encoder_hidden_states=ehs,
             )
-            tracker.log(
-                {"loss": float(metrics["loss"]),
-                 "grad_norm": float(metrics["grad_norm"]),
-                 "steps_time": el},
-                step_i + 1,
-            )
-        if (step_i + 1) % ckpt_freq == 0 or step_i + 1 == training_steps:
-            save_checkpoint(
-                model_dir, step_i + 1, state, remaining_idx, removed_idx,
-                total_steps_time + (time.time() - t_start), unet_spec=spec,
-            )
+            if (step_i + 1) % args.log_freq == 0 or step_i + 1 == training_steps:
+                el = time.time() - t_start
+                print(
+                    f"Step[{step_i + 1}/{training_steps}] loss={float(metrics['loss']):.5f} "
+                    f"grad_norm={float(metrics['grad_norm']):.4f} "
+                    f"steps_time={el:.1f}s",
+                    flush=True,
+                )
+                tracker.log(
+                    {"loss": float(metrics["loss"]),
+                     "grad_norm": float(metrics["grad_norm"]),
+                     "steps_time": el},
+                    step_i + 1,
+                )
+            if (step_i + 1) % ckpt_freq == 0 or step_i + 1 == training_steps:
+                save_checkpoint(
+                    model_dir, step_i + 1, state, remaining_idx, removed_idx,
+                    total_steps_time + (time.time() - t_start), unet_spec=spec,
+                )
     total_steps_time += time.time() - t_start
     tracker.finish()
 
