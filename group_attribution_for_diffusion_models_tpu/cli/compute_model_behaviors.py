@@ -121,16 +121,9 @@ def main(argv=None):
             return jnp.repeat(jnp.mean(z, axis=-1, keepdims=True), 3, axis=-1)
     else:
         from ..config.registry import MINISD_VAE
-        from ..models.vqvae import AutoencoderKL
+        from ..models.vqvae import load_sd_vae
 
-        vae = AutoencoderKL(MINISD_VAE)
-        if args.vae_weights:
-            vae_vars = {"params": np.load(args.vae_weights, allow_pickle=True).item()}
-        else:
-            vae_vars = vae.init(jax.random.PRNGKey(7),
-                                jnp.zeros((1, 256, 256, 3)))
-            print("WARNING: VAE running random-init (no --vae_weights); "
-                  "decoded images are not reference-comparable")
+        vae, vae_vars = load_sd_vae(MINISD_VAE, args.vae_weights)
 
         def decode(z):
             return vae.apply(vae_vars, z, method=vae.decode)

@@ -170,17 +170,9 @@ def main(argv=None):
             ).astype(np.float32)
         else:
             from ..config.registry import MINISD_VAE
-            from ..models.vqvae import AutoencoderKL, precompute_latents
+            from ..models.vqvae import load_sd_vae, precompute_latents
 
-            vae = AutoencoderKL(MINISD_VAE)
-            if args.vae_weights:
-                vae_vars = {
-                    "params": np.load(args.vae_weights, allow_pickle=True).item()
-                }
-            else:
-                vae_vars = vae.init(jax.random.PRNGKey(7),
-                                    jnp.zeros((1, 256, 256, 3)))
-                print("WARNING: VAE running random-init (no --vae_weights)")
+            vae, vae_vars = load_sd_vae(MINISD_VAE, args.vae_weights)
             latents = precompute_latents(
                 vae, vae_vars, dataset.images,
                 cache_path=os.path.join(args.outdir, "precomputed_emb",

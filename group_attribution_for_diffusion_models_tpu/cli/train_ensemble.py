@@ -202,11 +202,17 @@ def main(argv=None):
     tracker = tracker_for(args, f"{args.dataset}_ensemble_{args.method}")
     state, metrics = trainer.run(
         state, training_steps, seed=args.opt_seed,
-        log_every=getattr(args, "log_freq", 0) or 0,
+        log_every=args.log_freq,
         log_fn=lambda m, i: tracker.log(
             {"loss_mean": float(np.mean(np.asarray(m["loss"])))}, i
         ),
     )
+    # Final log regardless of interval ('0 = only final'), then close.
+    tracker.log(
+        {"loss_mean": float(np.mean(np.asarray(metrics["loss"])))},
+        training_steps,
+    )
+    tracker.finish()
     jax.block_until_ready(state.params)
     train_time = time.time() - t_start
     losses = np.asarray(metrics["loss"])

@@ -138,6 +138,10 @@ def main(argv=None):
 
     args = parse_args(argv)
     synthetic = args.dataset.startswith("synthetic")
+    if args.removal_dist == "counterfactual" and args.num_seeds > 1:
+        # Deterministic removal: every member would overwrite one leaf.
+        print("counterfactual removal is deterministic; forcing num_seeds=1")
+        args.num_seeds = 1
     seeds = list(range(args.removal_seed, args.removal_seed + args.num_seeds))
 
     # --- data + groups ------------------------------------------------------
@@ -249,10 +253,9 @@ def main(argv=None):
         ).astype(np.float32)
     else:
         from ..config.registry import MINISD_VAE
-        from ..models.vqvae import AutoencoderKL, precompute_latents
+        from ..models.vqvae import load_sd_vae, precompute_latents
 
-        vae = AutoencoderKL(MINISD_VAE)
-        vae_vars = vae.init(jax.random.PRNGKey(2), jnp.zeros((1, 256, 256, 3)))
+        vae, vae_vars = load_sd_vae(MINISD_VAE)
         latents_all = precompute_latents(
             vae, vae_vars, dataset.images,
             cache_path=os.path.join(args.outdir, "precomputed_emb", "vae_latents.npy"),
@@ -372,14 +375,9 @@ def main(argv=None):
             member_step, in_axes=(None, None, None, None, 0, 0, 0, 0, 0)
         )(base, lat_all, emb_all, emb_idx, stacked, opt_st, table_j, sizes_j, keys)
 
-    from ..utils.trackers import make_tracker
+    from .common import tracker_for
 
-    tracker = make_tracker(
-        args.tracker, run_name=f"{args.dataset}_lora_{args.method}",
-        config={k: v for k, v in vars(args).items()
-                if isinstance(v, (int, float, str, bool, type(None)))},
-        logdir=os.path.join(args.outdir, "logs"),
-    )
+    tracker = tracker_for(args, f"{args.dataset}_lora_{args.method}")
     t_start = time.time()
     time_rows = []
     for step_i in range(total_steps):
@@ -387,17 +385,16 @@ def main(argv=None):
             base_params, latents_j, unit_emb_j, img_emb_idx_j,
             stacked_lora, opt_state, jax.random.PRNGKey(args.opt_seed * 7 + step_i)
         )
-        if (step_i + 1) % args.log_freq == 0 or step_i + 1 == total_steps:
+        if (args.log_freq and (step_i + 1) % args.log_freq == 0) or step_i + 1 == total_steps:
             el = time.time() - t_start
             print(
                 f"Step[{step_i + 1}/{total_steps}] "
                 f"losses={np.asarray(losses).round(4).tolist()} {el:.1f}s",
                 flush=True,
             )
-        if (step_i + 1) % args.log_freq == 0 or step_i + 1 == total_steps:
             tracker.log(
                 {"loss_mean": float(np.mean(np.asarray(losses))),
-                 "elapsed_s": time.time() - t_start},
+                 "elapsed_s": el},
                 step_i + 1,
             )
         time_rows.append((step_i, time.time() - t_start))

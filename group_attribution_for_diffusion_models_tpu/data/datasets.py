@@ -154,11 +154,16 @@ def _load_image_dir(
         groups = np.zeros(len(files), dtype=np.int64)
 
     # Native multithreaded decode+resize (libpng/libjpeg via ctypes) is the
-    # fast path for 30k-image dirs; PIL decodes one by one otherwise.
+    # fast path for 30k-image dirs; PIL decodes one by one otherwise — and
+    # also when the dir holds a format the native decoder lacks (webp, CMYK
+    # jpeg, ...), which raises ValueError rather than silently degrading.
     from ..utils.native_images import load_image_batch
 
     paths = [os.path.join(root, f) for f in files]
-    imgs = load_image_batch(paths, size)
+    try:
+        imgs = load_image_batch(paths, size)
+    except ValueError:
+        imgs = None
     if imgs is None:
         imgs = np.empty((len(files), size, size, 3), dtype=np.uint8)
         for i, path in enumerate(paths):

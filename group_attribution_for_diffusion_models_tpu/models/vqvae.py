@@ -276,3 +276,26 @@ def precompute_latents(
         os.makedirs(os.path.dirname(os.path.abspath(cache_path)), exist_ok=True)
         np.save(cache_path, latents)
     return latents
+
+
+def load_sd_vae(spec, weights_path: Optional[str] = None, quiet: bool = False):
+    """(model, variables) for the SD AutoencoderKL.
+
+    The no-weights random init is deterministically seeded (PRNGKey(2), the
+    LoRA trainer's seed) so EVERY consumer — trainer latent precompute, TRAK
+    feature extraction, behavior-scoring decode — shares one encoder/decoder
+    in smoke runs; a mismatched tower would silently score/differentiate a
+    latent space the model was never trained in.
+    """
+    model = AutoencoderKL(spec)
+    if weights_path:
+        variables = {"params": np.load(weights_path, allow_pickle=True).item()}
+    else:
+        variables = model.init(
+            jax.random.PRNGKey(2),
+            jnp.zeros((1, spec.sample_size, spec.sample_size, spec.in_channels)),
+        )
+        if not quiet:
+            print("WARNING: SD VAE running random-init (no weights); "
+                  "outputs are not reference-comparable")
+    return model, variables

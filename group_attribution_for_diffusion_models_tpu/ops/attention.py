@@ -83,15 +83,16 @@ def _flash_forward(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarra
     scale = 1.0 / (d**0.5)
 
     # (B, S, H, D) -> (B*H, S, D); pad S to the query block and D to the lane.
-    def to_bh(x, s):
-        x = jnp.transpose(x, (0, 2, 1, 3)).reshape(b * h, s, d)
-        return jnp.pad(
-            x, ((0, 0), (0, _round_up(s, _BLOCK_Q) - s), (0, _LANE - d))
-        ) if (s % _BLOCK_Q or d % _LANE) else x
-
     dp = _round_up(d, _LANE)
     sq_p = _round_up(sq, _BLOCK_Q)
     skv_p = _round_up(skv, _BLOCK_Q)
+
+    def to_bh(x, s):
+        x = jnp.transpose(x, (0, 2, 1, 3)).reshape(b * h, s, d)
+        return jnp.pad(
+            x, ((0, 0), (0, _round_up(s, _BLOCK_Q) - s), (0, dp - d))
+        ) if (s % _BLOCK_Q or d % _LANE) else x
+
     qb = to_bh(q, sq)
     kb = jnp.pad(
         jnp.transpose(k, (0, 2, 1, 3)).reshape(b * h, skv, d),

@@ -15,7 +15,7 @@ from typing import Optional
 
 import numpy as np
 
-from .cli.common import config_for
+from .cli.common import config_for, vq_decode_fn_for
 from .config.registry import WorkloadConfig
 from .diffusion.sampling import make_sampler
 from .models import UNet2D
@@ -79,14 +79,6 @@ class Pipeline:
         )
 
 
-def _decode_fn_for(cfg, vqvae_weights: Optional[str]):
-    if cfg.vqvae is None:
-        return None
-    from .models.vqvae import make_vq_decode_fn
-
-    return make_vq_decode_fn(cfg.vqvae, vqvae_weights)
-
-
 def load_ckpt_model(
     model_dir: str, dataset: str, vqvae_weights: Optional[str] = None
 ) -> Pipeline:
@@ -107,7 +99,7 @@ def load_ckpt_model(
     if loaded_spec is not None and loaded_spec != spec:
         model = UNet2D(loaded_spec)
     return Pipeline(cfg=cfg, model=model, state=state, meta=meta,
-                    decode_fn=_decode_fn_for(cfg, vqvae_weights))
+                    decode_fn=vq_decode_fn_for(cfg, vqvae_weights))
 
 
 def build_pipeline(
@@ -129,7 +121,7 @@ def build_pipeline(
     params = model.init(jax.random.PRNGKey(0), x0, jnp.zeros((1,), jnp.int32))["params"]
     state = TrainState.create(params, make_optimizer("adam", lr=1e-4))
     return Pipeline(cfg=cfg, model=model, state=state, meta={},
-                    decode_fn=_decode_fn_for(cfg, vqvae_weights))
+                    decode_fn=vq_decode_fn_for(cfg, vqvae_weights))
 
 
 class ImagenetteCaptioner:

@@ -58,14 +58,25 @@ def test_dispatch_uses_flash_only_for_long_sequences():
 
 
 def test_flash_under_jit_and_vmap():
+    # Leading ensemble axis mapped by jax.vmap — the pallas_call batching
+    # path the vmapped TRAK/ensemble code actually exercises.
     q, k, v = _qkv(jax.random.PRNGKey(3), 2, 256, 256, 1, 64)
+    qe = jnp.stack([q, q * 0.5])
+    ke = jnp.stack([k, k * 2.0])
+    ve = jnp.stack([v, v + 0.1])
 
-    @jax.jit
-    def f(q, k, v):
-        return flash_attention(q, k, v)
-
+    f = jax.jit(jax.vmap(flash_attention))
+    want = jax.vmap(jax.nn.dot_product_attention)(qe, ke, ve)
     np.testing.assert_allclose(
-        np.asarray(f(q, k, v)),
+        np.asarray(f(qe, ke, ve)), np.asarray(want), atol=2e-5, rtol=2e-5,
+    )
+
+
+def test_flash_head_dim_128_boundary():
+    # dp - d padding (not _LANE - d): head dims on the 128 lane boundary.
+    q, k, v = _qkv(jax.random.PRNGKey(4), 1, 256, 256, 1, 128)
+    np.testing.assert_allclose(
+        np.asarray(flash_attention(q, k, v)),
         np.asarray(jax.nn.dot_product_attention(q, k, v)),
         atol=2e-5, rtol=2e-5,
     )

@@ -88,3 +88,22 @@ def test_image_dir_dataset_uses_native(image_dir, tmp_path):
     assert ds.images.shape == (4, 16, 16, 3)
     assert -1.0 <= ds.images.min() and ds.images.max() <= 1.0
     assert ds.names == [f"x_{i}.png" for i in range(4)]
+
+
+def test_image_dir_falls_back_to_pil_for_webp(tmp_path):
+    """Formats the native decoder lacks (webp) fall back to the PIL loop
+    instead of crashing the dataset load."""
+    from PIL import Image
+
+    from group_attribution_for_diffusion_models_tpu.data.datasets import (
+        _load_image_dir,
+    )
+
+    rng = np.random.RandomState(2)
+    d = tmp_path / "mixed"
+    d.mkdir()
+    for i in range(2):
+        arr = rng.randint(0, 256, size=(16, 16, 3), dtype=np.int64).astype(np.uint8)
+        Image.fromarray(arr).save(d / f"w_{i}.webp")
+    ds = _load_image_dir(str(d), 16)
+    assert ds.images.shape == (2, 16, 16, 3)
