@@ -137,3 +137,21 @@ def test_collect_data_from_db(tmp_path):
     for row, seed in enumerate(seeds):
         expected, _ = sample_removal("shapley", n, seed=seed)
         np.testing.assert_array_equal(np.flatnonzero(masks[row]), np.sort(expected))
+
+
+def test_ridge_fit_matches_sklearn():
+    """The dependency-free ridge matches sklearn's Ridge (the reference's
+    RidgeCV building block) coefficient-for-coefficient."""
+    from sklearn.linear_model import Ridge
+
+    from group_attribution_for_diffusion_models_tpu.attributions.methods.datamodel import (
+        _ridge_fit,
+    )
+
+    rng = np.random.RandomState(0)
+    x = rng.binomial(1, 0.5, size=(60, 12)).astype(np.float64)
+    y = x @ rng.normal(size=12) + 0.3 + rng.normal(scale=0.05, size=60)
+    for alpha in (0.1, 1.0, 10.0):
+        want = Ridge(alpha=alpha).fit(x, y).coef_
+        got = _ridge_fit(x, y, alpha)
+        np.testing.assert_allclose(got, want, atol=1e-8)
