@@ -178,3 +178,52 @@ def test_data_shapley_estimator_parity(ref_datasets):
     ours = data_shapley(d, masks, y, float(y.max()), float(y.min()))
     theirs = ref_ds(d, masks, y, float(y.max()), float(y.min()))
     np.testing.assert_allclose(ours, theirs, atol=1e-10)
+
+
+def test_data_banzhaf_estimator_parity(ref_datasets):
+    """Banzhaf lstsq: identical coefficients on identical inputs."""
+    sys.path.insert(0, REFERENCE)
+    try:
+        from src.attributions.methods.databanzhaf import data_banzhaf as ref_db
+    except Exception as e:  # pragma: no cover
+        pytest.skip(f"reference import failed: {e}")
+    finally:
+        sys.path.remove(REFERENCE)
+    from group_attribution_for_diffusion_models_tpu.attributions.methods import (
+        data_banzhaf,
+    )
+
+    rng = np.random.RandomState(1)
+    d, n = 16, 150
+    masks = (rng.rand(n, d) > 0.5).astype(np.float64)
+    y = masks @ rng.normal(size=d) + 0.02 * rng.normal(size=n)
+    np.testing.assert_allclose(
+        np.ravel(data_banzhaf(masks, y)), np.ravel(ref_db(masks, y)), atol=1e-10
+    )
+
+
+def test_kernel_shap_variants_parity(ref_datasets):
+    """Weighted kernel-SHAP variants match the reference's lstsq solutions."""
+    sys.path.insert(0, REFERENCE)
+    try:
+        from src.attributions.methods.datashapley import (
+            kernel_shap as ref_ks,
+        )
+    except Exception as e:  # pragma: no cover
+        pytest.skip(f"reference import failed: {e}")
+    finally:
+        sys.path.remove(REFERENCE)
+    from group_attribution_for_diffusion_models_tpu.attributions.methods.datashapley import (
+        kernel_shap,
+    )
+
+    rng = np.random.RandomState(2)
+    d, n = 12, 120
+    masks = np.zeros((n, d))
+    for i in range(n):  # proper subsets only (kernel weights finite)
+        k = rng.randint(1, d)
+        masks[i, rng.choice(d, size=k, replace=False)] = 1.0
+    y = masks @ rng.normal(size=d) + 0.01 * rng.normal(size=n)
+    ours = kernel_shap(d, masks, y, float(y.max()), float(y.min()))
+    theirs = ref_ks(d, masks, y, float(y.max()), float(y.min()))
+    np.testing.assert_allclose(np.ravel(ours), np.ravel(theirs), atol=1e-8)
