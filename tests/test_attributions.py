@@ -155,3 +155,20 @@ def test_ridge_fit_matches_sklearn():
         want = Ridge(alpha=alpha).fit(x, y).coef_
         got = _ridge_fit(x, y, alpha)
         np.testing.assert_allclose(got, want, atol=1e-8)
+
+
+def test_ridge_cv_matches_sklearn_ridgecv():
+    """Full CV pipeline vs sklearn RidgeCV(cv=5) — the reference's estimator
+    (reference datamodel.py:28-31): same winning alpha, identical refit."""
+    from sklearn.linear_model import RidgeCV
+
+    from group_attribution_for_diffusion_models_tpu.attributions.methods.datamodel import (
+        ridge_cv,
+    )
+
+    rng = np.random.RandomState(0)
+    x = rng.binomial(1, 0.5, (80, 10)).astype(float)
+    y = x @ rng.normal(size=10) + rng.normal(scale=0.1, size=80)
+    ours = ridge_cv(x, y, alphas=(0.1, 1.0, 10.0), cv=5)
+    ref = RidgeCV(cv=5, alphas=[0.1, 1.0, 10.0]).fit(x, y)
+    np.testing.assert_allclose(ours, ref.coef_, atol=1e-10)
