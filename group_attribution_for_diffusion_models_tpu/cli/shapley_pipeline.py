@@ -71,6 +71,8 @@ def _train_chunked(args, dist, seed_start, num, db):
             argv += ["--datamodel_alpha", str(args.datamodel_alpha)]
         if args.vqvae_weights:
             argv += ["--vqvae_weights", args.vqvae_weights]
+        if args.by_class:
+            argv += ["--by_class"]
         train_ensemble.main(argv)
 
 
