@@ -86,11 +86,19 @@ def main(argv=None):
     _train_chunked(args, "datamodel", args.test_seed_start, args.num_test_subsets, db)
     train_time = time.time() - t0
 
-    # 3) collect (mask, behavior) rows.
+    # 3) collect (mask, behavior) rows. With --by_class the attribution units
+    # are classes, so image-level remaining_idx collapses to a class mask
+    # (cli.lds does the same, mirroring reference lds.py:223-229) — fitting
+    # n_classes coefficients instead of n_images makes the closed form
+    # well-posed at realistic fit-subset counts.
     from ..data import create_dataset
 
     dataset = create_dataset(args.dataset, train=True)
-    n_units = len(dataset)
+    if args.by_class:
+        labels = dataset.labels
+        n_units = int(labels.max()) + 1
+    else:
+        n_units = len(dataset)
 
     def rows_to_xy(dist):
         rows = filter_records(db, {"dataset": args.dataset, "removal_dist": dist})
@@ -98,8 +106,12 @@ def main(argv=None):
         for rec in rows:
             if args.behavior not in rec or rec[args.behavior] is None:
                 continue
+            remaining = np.asarray(rec["remaining_idx"], np.int64)
             m = np.zeros(n_units, np.float32)
-            m[np.asarray(rec["remaining_idx"], np.int64)] = 1.0
+            if args.by_class:
+                m[np.unique(labels[remaining])] = 1.0
+            else:
+                m[remaining] = 1.0
             masks.append(m)
             ys.append(float(rec[args.behavior]))
         return (np.stack(masks), np.asarray(ys)) if masks else (

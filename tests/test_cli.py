@@ -122,3 +122,27 @@ def test_trak_feature_store_attribution(outdir, tmp_path):
         "--train_db", store, "--save_path", save, "--outdir", outdir,
     ])
     assert np.load(save).shape == (8,)
+
+
+def test_shapley_pipeline_by_class(tmp_path):
+    """One-command pipeline with class-level attribution units: masks
+    collapse to classes (reference lds.py:223-229) and LDS is computed."""
+    import json
+
+    from group_attribution_for_diffusion_models_tpu.cli import shapley_pipeline
+
+    out = str(tmp_path)
+    shapley_pipeline.main([
+        "--dataset", "synthetic_64x8_mix", "--by_class",
+        "--num_fit_subsets", "6", "--num_test_subsets", "4",
+        "--training_steps", "3", "--batch_size", "8",
+        "--behavior", "eval_loss", "--chunk_size", "6",
+        "--outdir", out,
+    ])
+    db = os.path.join(out, "synthetic_64x8_mix_pipeline_db.jsonl")
+    rows = [json.loads(l) for l in open(db)]
+    summary = rows[-1]
+    assert "lds_mean" in summary and summary["num_fit_subsets"] == 6
+    attrs = np.load(os.path.join(out, "shapley_pipeline_attrs.npy"))
+    # Class-level units: one coefficient per class, not per image.
+    assert attrs.shape[0] == 10
