@@ -84,6 +84,38 @@ def main(argv=None):
     # 1+2) subset ensembles: shapley fit rows + datamodel test rows.
     _train_chunked(args, "shapley", args.removal_seed, args.num_fit_subsets, db)
     _train_chunked(args, "datamodel", args.test_seed_start, args.num_test_subsets, db)
+
+    # Efficiency-constraint anchors: v1/v0 are the behaviors of the
+    # full-data model and the untrained null model (reference y_full/y_null,
+    # shapley_lds.py:190-209). Anchoring on y.max()/y.min() instead flips
+    # the constraint's sign whenever the behavior DECREASES with more data
+    # (any loss-like behavior) and wrecks the fit.
+    from .common import config_for
+
+    cfg = config_for(args.dataset)
+    v1_steps = args.training_steps or cfg.train.training_steps.get("retrain", 1000)
+
+    def _anchor(steps):
+        from . import train_ensemble
+
+        argv = [
+            "--dataset", args.dataset, "--removal_dist", "full",
+            "--num_seeds", "1", "--outdir", args.outdir, "--db", db,
+            "--training_steps", str(steps),
+            "--n_samples",
+            str(args.n_samples if args.behavior in ("fid_value", "is") else 0),
+            "--num_inference_steps", str(args.num_inference_steps),
+        ]
+        if args.behavior == "eval_loss":
+            argv += ["--eval_loss"]
+        if args.batch_size:
+            argv += ["--batch_size", str(args.batch_size)]
+        if args.vqvae_weights:
+            argv += ["--vqvae_weights", args.vqvae_weights]
+        train_ensemble.main(argv)
+
+    _anchor(0)        # null model (must run before the trained full model
+    _anchor(v1_steps)  # claims the 'full' leaf's final checkpoint)
     train_time = time.time() - t0
 
     # 3) collect (mask, behavior) rows. With --by_class the attribution units
@@ -124,8 +156,20 @@ def main(argv=None):
             f"not enough scored rows (fit {len(x_fit)}, test {len(x_test)})"
         )
 
-    # 4) closed-form Shapley + LDS.
-    v1, v0 = float(y_fit.max()), float(y_fit.min())
+    # 4) closed-form Shapley + LDS, anchored on the measured v1/v0.
+    v1 = v0 = None
+    for rec in filter_records(db, {"dataset": args.dataset,
+                                   "removal_dist": "full"}):
+        if rec.get(args.behavior) is None:
+            continue
+        if rec.get("training_steps") == 0:
+            v0 = float(rec[args.behavior])
+        elif rec.get("training_steps") == v1_steps:
+            v1 = float(rec[args.behavior])
+    if v1 is None or v0 is None:
+        print("WARNING: missing full/null anchor rows; "
+              "falling back to y-range anchors")
+        v1, v0 = float(y_fit.max()), float(y_fit.min())
     attrs = data_shapley(n_units, x_fit, y_fit, v1, v0).ravel()
     lds_mean, lds_ci = evaluate_lds(attrs, [(x_test, y_test)])
     total_time = time.time() - t0
@@ -136,6 +180,8 @@ def main(argv=None):
         "num_fit_subsets": int(len(x_fit)),
         "num_test_subsets": int(len(x_test)),
         "behavior": args.behavior,
+        "v1": v1,
+        "v0": v0,
         "lds_mean": lds_mean,
         "lds_ci": lds_ci,
         "train_time_s": round(train_time, 1),

@@ -207,18 +207,22 @@ def main(argv=None):
             {"loss_mean": float(np.mean(np.asarray(m["loss"])))}, i
         ),
     )
-    # Final log regardless of interval ('0 = only final'), then close.
-    tracker.log(
-        {"loss_mean": float(np.mean(np.asarray(metrics["loss"])))},
-        training_steps,
-    )
-    tracker.finish()
     jax.block_until_ready(state.params)
     train_time = time.time() - t_start
-    losses = np.asarray(metrics["loss"])
+    if metrics is not None:
+        # Final log regardless of interval ('0 = only final'), then close.
+        tracker.log(
+            {"loss_mean": float(np.mean(np.asarray(metrics["loss"])))},
+            training_steps,
+        )
+        losses = np.asarray(metrics["loss"])
+    else:
+        # training_steps=0: init-only members (the "null model" y_v0 of the
+        # Shapley efficiency constraint, reference shapley_lds.py:190-209).
+        losses = np.full(len(seeds), np.nan)
+    tracker.finish()
     print(
-        f"{len(seeds)} members x {training_steps} steps in {train_time:.1f}s "
-        f"({len(seeds) * training_steps / train_time:.1f} member-steps/s); "
+        f"{len(seeds)} members x {training_steps} steps in {train_time:.1f}s; "
         f"losses {losses.round(4).tolist()}"
     )
 
