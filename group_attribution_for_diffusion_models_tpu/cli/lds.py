@@ -19,6 +19,7 @@ from ..attributions import bootstrap_lds_ci, collect_data, evaluate_lds
 from ..attributions.lds import collect_local_data
 from ..attributions.methods import data_banzhaf, data_shapley, datamodel
 from ..data import create_dataset
+from ..utils import filter_records
 from .common import add_common_args
 
 
@@ -48,6 +49,12 @@ def parse_args(argv=None):
                         help="full-model behavior (shapley efficiency anchor)")
     parser.add_argument("--v0", type=float, default=None,
                         help="null-model behavior (shapley efficiency anchor)")
+    parser.add_argument("--full_db", type=str, default=None,
+                        help="JSONL with the full-model behavior row "
+                             "(reference lds.py --full_db; overrides --v1)")
+    parser.add_argument("--null_db", type=str, default=None,
+                        help="JSONL with the null-model behavior row "
+                             "(reference lds.py --null_db; overrides --v0)")
     parser.add_argument("--num_runs", type=int, default=1,
                         help="datamodel bootstrap count")
     parser.add_argument("--bootstrapped", action="store_true", default=False)
@@ -114,6 +121,23 @@ def main(argv=None):
             by_class=args.by_class, labels=labels,
         )
         return m, y.reshape(-1, 1), s
+
+    # Shapley efficiency anchors from dedicated full/null DBs (reference
+    # lds.py:338-353): sum(attrs) must equal v1 - v0, which for loss-like
+    # behaviors is NEGATIVE — max/min anchors would flip the constraint.
+    def _db_value(path):
+        for rec in filter_records(path, {"dataset": args.dataset}):
+            v = rec.get(args.model_behavior_key)
+            if v is not None:
+                return float(v)
+        raise SystemExit(
+            f"no {args.model_behavior_key} row for {args.dataset} in {path}"
+        )
+
+    if args.full_db:
+        args.v1 = _db_value(args.full_db)
+    if args.null_db:
+        args.v0 = _db_value(args.null_db)
 
     masks, behaviors, _ = collect(args.train_db, cond)
     if len(masks) == 0:

@@ -146,3 +146,51 @@ def test_shapley_pipeline_by_class(tmp_path):
     attrs = np.load(os.path.join(out, "shapley_pipeline_attrs.npy"))
     # Class-level units: one coefficient per class, not per image.
     assert attrs.shape[0] == 10
+
+
+def test_lds_full_null_db_anchors(tmp_path):
+    """--full_db/--null_db anchor the Shapley efficiency constraint on
+    measured full/null behaviors (reference lds.py:338-353); with a
+    loss-like behavior this recovers near-perfect LDS where max/min anchors
+    would corrupt the fit."""
+    import json
+
+    from group_attribution_for_diffusion_models_tpu.cli import lds
+
+    rng = np.random.RandomState(0)
+    d = 10
+    attrs_true = -rng.rand(d)  # keeping any unit LOWERS the loss
+
+    def rows(dist, n):
+        out = []
+        for _ in range(n):
+            m = (rng.rand(d) > 0.5).astype(int)
+            y = 2.0 + m @ attrs_true + rng.normal(scale=0.01)
+            out.append({
+                "dataset": "synthetic_10x8", "method": "retrain",
+                "removal_dist": dist,
+                "remaining_idx": np.flatnonzero(m).tolist(),
+                "removed_idx": np.flatnonzero(m == 0).tolist(),
+                "eval_loss": float(y),
+            })
+        return out
+
+    db = str(tmp_path / "db.jsonl")
+    with open(db, "w") as f:
+        for r in rows("shapley", 40) + rows("datamodel", 20):
+            f.write(json.dumps(r) + "\n")
+    full_db = str(tmp_path / "full.jsonl")
+    null_db = str(tmp_path / "null.jsonl")
+    with open(full_db, "w") as f:
+        f.write(json.dumps({"dataset": "synthetic_10x8",
+                            "eval_loss": float(2.0 + attrs_true.sum())}) + "\n")
+    with open(null_db, "w") as f:
+        f.write(json.dumps({"dataset": "synthetic_10x8", "eval_loss": 2.0}) + "\n")
+
+    lds.main([
+        "--dataset", "synthetic_10x8", "--removal_dist", "shapley",
+        "--train_db", db, "--test_db", db,
+        "--model_behavior_key", "eval_loss", "--num_units", str(d),
+        "--full_db", full_db, "--null_db", null_db,
+        "--train_size_step", "40",
+    ])
