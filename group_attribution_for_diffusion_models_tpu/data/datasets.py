@@ -238,6 +238,7 @@ def make_synthetic(
     num_classes: int = 10,
     seed: int = 0,
     heterogeneous: bool = False,
+    textured: bool = False,
 ) -> ArrayDataset:
     """Deterministic random dataset for tests and benchmarks.
 
@@ -245,6 +246,12 @@ def make_synthetic(
     (class k amplitude ~ (k+1)/num_classes), so model behaviors genuinely
     depend on WHICH examples a removal subset keeps — giving attribution
     demos real signal instead of i.i.d. noise ("synthetic_<n>x<s>_mix").
+
+    `textured` gives class k a distinct spatial SMOOTHNESS (box filter of
+    width ~k) instead — a spectrum difference that survives the GroupNorm
+    layers of a VAE encoder, so latent-space attribution demos keep their
+    signal where pure amplitude scaling gets normalized away
+    ("synthetic_<n>x<s>_tex", combinable with _ldm).
     """
     rng = np.random.RandomState(seed)
     images = rng.uniform(-1.0, 1.0, size=(n, size, size, channels)).astype(np.float32)
@@ -252,6 +259,26 @@ def make_synthetic(
     if heterogeneous:
         amp = ((labels + 1) / num_classes).astype(np.float32)
         images = images * amp[:, None, None, None]
+    if textured:
+        # Separable box smoothing; renormalized to unit std so amplitude
+        # stays class-independent (the signal is spectral, not scale).
+        for k in range(num_classes):
+            w = 1 + (k % 4)
+            if w == 1:
+                continue
+            idx = np.flatnonzero(labels == k)
+            if not len(idx):
+                continue
+            kernel = np.ones(w, np.float32) / w
+            sub = images[idx]
+            sub = np.apply_along_axis(
+                lambda v: np.convolve(v, kernel, mode="same"), 1, sub
+            )
+            sub = np.apply_along_axis(
+                lambda v: np.convolve(v, kernel, mode="same"), 2, sub
+            )
+            sub = sub / max(sub.std(), 1e-6) * images.std()
+            images[idx] = sub.astype(np.float32)
     return ArrayDataset(images, labels)
 
 
@@ -273,7 +300,8 @@ def create_dataset(
         n, size = 256, 32
         if len(parts) > 1 and "x" in parts[1]:
             n, size = (int(v) for v in parts[1].split("x"))
-        return make_synthetic(n=n, size=size, heterogeneous="mix" in parts)
+        return make_synthetic(n=n, size=size, heterogeneous="mix" in parts,
+                              textured="tex" in parts)
 
     if dataset_name == "cifar":
         x, y = _load_cifar10_raw(root, train)

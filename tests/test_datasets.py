@@ -133,3 +133,22 @@ def test_cifar100_regroup_clusters_classes():
     # Group labels are constant within a class.
     for c in range(8):
         assert len(set(groups[labels == c])) == 1
+
+
+def test_textured_synthetic_classes_differ_spectrally():
+    """The _tex variant separates classes by spatial smoothness (survives
+    the GroupNorm layers of a VAE encoder, unlike amplitude scaling)."""
+    from group_attribution_for_diffusion_models_tpu.data import create_dataset
+
+    ds = create_dataset("synthetic_512x16_tex")
+
+    def lag1(sub):
+        return float(np.mean(sub[:, :, :-1] * sub[:, :, 1:]) / sub.var())
+
+    smooth = lag1(ds.images[ds.labels == 3])   # box width 4
+    rough = lag1(ds.images[ds.labels == 0])    # box width 1 (untouched)
+    assert rough < 0.1 < 0.5 < smooth
+    # Amplitude stays class-independent: the signal is spectral only.
+    s0 = ds.images[ds.labels == 0].std()
+    s3 = ds.images[ds.labels == 3].std()
+    assert abs(s0 - s3) / s0 < 0.25
