@@ -18,7 +18,7 @@ Measured on one TPU v5e (reference: 646 s/subset => 5.57 passes/hour):
 
     members x batch   passes/hour   vs reference
     1 x 64 (exact)        40.25          7.2x
-    2 x 32                72.75         13.1x
+    2 x 32                73.49         13.2x   (with the Pallas flash kernel)
     4 x 16               125.84         22.6x
 
 Train time is nearly flat in member count (80 s for 200 steps at all three
