@@ -70,6 +70,13 @@ def base_parser(doc: str) -> argparse.ArgumentParser:
     parser.add_argument("--train_size_step", type=int, default=100)
     parser.add_argument("--v1", type=float, default=None)
     parser.add_argument("--v0", type=float, default=None)
+    parser.add_argument("--full_db", type=str, default=None,
+                        help="JSONL with the full-model behavior row "
+                             "(reference shapley_lds.py:190-209 y_full; "
+                             "overrides --v1)")
+    parser.add_argument("--null_db", type=str, default=None,
+                        help="JSONL with the null/pretrained-only behavior "
+                             "row (y_null; overrides --v0)")
     parser.add_argument("--save_dir", type=str, default=None,
                         help="save attrs + global ranking .npy here")
     return parser
@@ -120,6 +127,22 @@ def run_lds(args, removal_dist: str, fit):
 
 
 def shapley_fit(args):
+    # Resolve efficiency-constraint anchors: measured full/null behaviors
+    # beat the max/min fallback, whose sign is wrong for loss-like behaviors.
+    def _db_value(path):
+        from ..utils import read_records
+
+        for rec in read_records(path):
+            v = rec.get(args.model_behavior_key)
+            if v is not None:
+                return float(v)
+        raise SystemExit(f"no {args.model_behavior_key} row in {path}")
+
+    if args.full_db:
+        args.v1 = _db_value(args.full_db)
+    if args.null_db:
+        args.v0 = _db_value(args.null_db)
+
     def fit(masks, behaviors):
         v1 = float(args.v1 if args.v1 is not None else behaviors.max())
         v0 = float(args.v0 if args.v0 is not None else behaviors.min())
