@@ -15,6 +15,7 @@ arbitrary axis layouts.
 
 from __future__ import annotations
 
+import warnings
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -35,11 +36,26 @@ def make_mesh(
     devices = list(devices if devices is not None else jax.devices())
     if mesh_shape is None:
         mesh_shape = (len(devices),) + (1,) * (len(axis_names) - 1)
-    if int(np.prod(mesh_shape)) != len(devices):
-        raise ValueError(
-            f"mesh_shape {mesh_shape} does not cover {len(devices)} devices"
+    want = int(np.prod(mesh_shape))
+    if want > len(devices):
+        # Degrade gracefully: shrink axes (leading first) until the mesh fits
+        # the available devices, rather than failing the whole program because
+        # the environment has fewer chips than the requested layout.
+        shrunk = list(mesh_shape)
+        while int(np.prod(shrunk)) > len(devices):
+            for i in range(len(shrunk)):
+                if shrunk[i] > 1:
+                    shrunk[i] -= 1
+                    break
+        warnings.warn(
+            f"make_mesh: requested shape {mesh_shape} needs {want} devices "
+            f"but only {len(devices)} are visible; clamping to "
+            f"{tuple(shrunk)}",
+            stacklevel=2,
         )
-    dev_array = np.asarray(devices).reshape(mesh_shape)
+        mesh_shape = tuple(shrunk)
+        want = int(np.prod(mesh_shape))
+    dev_array = np.asarray(devices[:want]).reshape(mesh_shape)
     return Mesh(dev_array, axis_names)
 
 
