@@ -312,11 +312,15 @@ def main(argv=None):
         noise = jax.random.normal(k_n, lat.shape)
 
         def loss_fn(lo):
-            merged = lora_merge(base, lo)
             from ..diffusion.schedulers import add_noise
+            from ..models.lora import lora_collection
 
             x_t = add_noise(schedule, lat, noise, t)
-            eps = model.apply({"params": merged}, x_t, t, ehs)
+            # LoRA rides as a side branch: no per-member merged copy of the
+            # 860M base in HBM (models.layers.LoRADense).
+            eps = model.apply(
+                {"params": base, "lora": lora_collection(lo)}, x_t, t, ehs
+            )
             err = jnp.mean((eps - noise) ** 2, axis=(1, 2, 3))
             if snr is not None:
                 w = jnp.minimum(snr[t], args.snr_gamma) / snr[t]

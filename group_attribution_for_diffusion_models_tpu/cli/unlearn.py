@@ -144,9 +144,12 @@ def main(argv=None):
             noise = jax.random.normal(k_n, images.shape)
 
             def loss_fn(lo):
-                merged = lora_merge(params, lo)
+                from ..models.lora import lora_collection
+
                 x_t = add_noise(schedule, images, noise, t)
-                eps = model.apply({"params": merged}, x_t, t)
+                eps = model.apply(
+                    {"params": params, "lora": lora_collection(lo)}, x_t, t
+                )
                 return jnp.mean((eps - noise) ** 2)
 
             loss, grads = jax.value_and_grad(loss_fn)(tree)

@@ -103,6 +103,53 @@ class ResnetBlock(nn.Module):
         return x + h
 
 
+class LoRADense(nn.Module):
+    """Dense layer with an optional zero-cost LoRA side branch.
+
+    Param structure is identical to nn.Dense ({kernel, bias}), so checkpoints
+    and converters are unaffected. When the caller passes a "lora" variable
+    collection (model.apply({"params": p, "lora": tree}, ...)) containing
+    {down: (in, r), up: (r, out)} at this module's path, the output gains
+    scale * (x @ down) @ up.
+
+    This is the memory-critical path for ensemble LoRA training: merging
+    (models.lora.lora_merge) materializes a full per-member copy of the 860M
+    miniSD base (1.7 GB bf16 each) inside the train step, while the side
+    branch adds only O(rank) compute and no parameter copies — the base stays
+    a single shared buffer across all vmapped members (reference keeps LoRA
+    separate for the same reason, text_to_image/train_text_to_image_lora.py:
+    776-820).
+    """
+
+    features: int
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+    lora_scale: float = 1.0
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (x.shape[-1], self.features),
+            jnp.float32,
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros_init(), (self.features,), jnp.float32)
+            if self.use_bias
+            else None
+        )
+        x, kernel, bias = nn.dtypes.promote_dtype(x, kernel, bias, dtype=self.dtype)
+        y = x @ kernel
+        if bias is not None:
+            y = y + bias
+        if self.has_variable("lora", "down"):
+            down = self.get_variable("lora", "down").astype(y.dtype)
+            up = self.get_variable("lora", "up").astype(y.dtype)
+            y = y + self.lora_scale * ((x @ down) @ up)
+        return y
+
+
 class SelfAttention2D(nn.Module):
     """Spatial self-attention over HxW tokens with residual connection.
 
@@ -126,9 +173,9 @@ class SelfAttention2D(nn.Module):
         y = nn.GroupNorm(self.groups, epsilon=self.eps, dtype=jnp.float32, name="group_norm")(x)
         y = y.reshape(b, h * w, c)
 
-        q = nn.Dense(c, dtype=self.dtype, name="to_q")(y)
-        k = nn.Dense(c, dtype=self.dtype, name="to_k")(y)
-        v = nn.Dense(c, dtype=self.dtype, name="to_v")(y)
+        q = LoRADense(c, dtype=self.dtype, name="to_q")(y)
+        k = LoRADense(c, dtype=self.dtype, name="to_k")(y)
+        v = LoRADense(c, dtype=self.dtype, name="to_v")(y)
 
         q = q.reshape(b, h * w, num_heads, head_dim)
         k = k.reshape(b, h * w, num_heads, head_dim)
@@ -136,7 +183,7 @@ class SelfAttention2D(nn.Module):
         y = dot_product_attention(q, k, v)
         y = y.reshape(b, h * w, c)
 
-        y = nn.Dense(c, dtype=self.dtype, name="to_out")(y)
+        y = LoRADense(c, dtype=self.dtype, name="to_out")(y)
         return residual + y.reshape(b, h, w, c)
 
 
@@ -172,9 +219,9 @@ class CrossAttention(nn.Module):
         head_dim = c // self.num_heads
         context = x if context is None else context
 
-        q = nn.Dense(c, use_bias=False, dtype=self.dtype, name="to_q")(x)
-        k = nn.Dense(c, use_bias=False, dtype=self.dtype, name="to_k")(context)
-        v = nn.Dense(c, use_bias=False, dtype=self.dtype, name="to_v")(context)
+        q = LoRADense(c, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        k = LoRADense(c, use_bias=False, dtype=self.dtype, name="to_k")(context)
+        v = LoRADense(c, use_bias=False, dtype=self.dtype, name="to_v")(context)
 
         b, n, _ = q.shape
         m = k.shape[1]
@@ -182,7 +229,7 @@ class CrossAttention(nn.Module):
         k = k.reshape(b, m, self.num_heads, head_dim)
         v = v.reshape(b, m, self.num_heads, head_dim)
         out = dot_product_attention(q, k, v).reshape(b, n, c)
-        return nn.Dense(c, dtype=self.dtype, name="to_out")(out)
+        return LoRADense(c, dtype=self.dtype, name="to_out")(out)
 
 
 class TransformerBlock(nn.Module):

@@ -104,6 +104,25 @@ def lora_merge(params, lora_tree: Mapping, scale: float = 1.0):
     return new
 
 
+def lora_collection(lora_tree: Mapping) -> Dict:
+    """Flat LoRA tree -> nested "lora" variable collection for model.apply.
+
+    model.apply({"params": base, "lora": lora_collection(lo)}, ...) runs the
+    forward pass with LoRA as a side branch (models.layers.LoRADense) —
+    numerically identical to applying lora_merge(base, lo) but without
+    materializing the merged parameter copy, which is what makes large
+    vmapped LoRA ensembles fit in HBM.
+    """
+    nested: Dict = {}
+    for name, ab in lora_tree.items():
+        node = nested
+        parts = name.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = dict(ab)
+    return nested
+
+
 def lora_ranks(lora_tree: Mapping) -> Dict[str, int]:
     return {name: int(ab["down"].shape[1]) for name, ab in lora_tree.items()}
 

@@ -80,3 +80,52 @@ def test_flash_head_dim_128_boundary():
         np.asarray(jax.nn.dot_product_attention(q, k, v)),
         atol=2e-5, rtol=2e-5,
     )
+
+
+@pytest.mark.parametrize(
+    "b,sq,skv,h,d",
+    [
+        (2, 256, 256, 2, 64),   # aligned self-attention
+        (1, 256, 77, 2, 40),    # cross-attention: ragged KV + ragged head dim
+        (1, 130, 130, 1, 64),   # ragged query length
+        (1, 1024, 1024, 4, 40), # the miniSD level-0 training shape
+    ],
+)
+def test_flash_pallas_backward_matches_xla(b, sq, skv, h, d):
+    """The Pallas dQ/dK/dV kernels (not XLA recompute) against autodiff of
+    the XLA reference, including ragged/padded shapes where masked columns
+    and zero-padded query rows must not leak gradient."""
+    q, k, v = _qkv(jax.random.PRNGKey(5), b, sq, skv, h, d)
+    # Non-uniform cotangent so dO-dependent terms are exercised.
+    w = jax.random.normal(jax.random.PRNGKey(6), (b, sq, h, d))
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v) * w)
+
+    def loss_xla(q, k, v):
+        return jnp.sum(jax.nn.dot_product_attention(q, k, v) * w)
+
+    g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for name, a, b_ in zip("qkv", g1, g2):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), atol=5e-5, rtol=5e-5,
+            err_msg=f"d{name} mismatch",
+        )
+
+
+def test_flash_backward_under_jit_and_vmap():
+    q, k, v = _qkv(jax.random.PRNGKey(7), 1, 256, 256, 2, 64)
+    qe, ke, ve = (jnp.stack([x, x * 0.7]) for x in (q, k, v))
+
+    def loss(q, k, v):
+        return jnp.sum(flash_attention(q, k, v) ** 2)
+
+    g1 = jax.jit(jax.vmap(jax.grad(loss, argnums=(0, 1, 2))))(qe, ke, ve)
+
+    def loss_x(q, k, v):
+        return jnp.sum(jax.nn.dot_product_attention(q, k, v) ** 2)
+
+    g2 = jax.vmap(jax.grad(loss_x, argnums=(0, 1, 2)))(qe, ke, ve)
+    for a, b_ in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-5, rtol=5e-5)

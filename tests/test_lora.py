@@ -120,3 +120,49 @@ def test_prune_lora_keeps_top_pairs():
     # The dominant pair survives in that layer.
     kept_down = np.asarray(pruned[name]["down"])
     assert (np.abs(kept_down) > 1.0).any()
+
+
+def test_lora_side_branch_matches_merge():
+    """apply({"params", "lora"}) == apply with lora_merge'd params, for both
+    forward values and LoRA gradients — the side branch is what lets big
+    ensembles avoid per-member merged parameter copies."""
+    from group_attribution_for_diffusion_models_tpu.models.lora import (
+        lora_collection,
+    )
+
+    model, params = _params()
+    tree = lora_init(params, rank=4, key=jax.random.PRNGKey(7))
+    # Nonzero up so the branch actually contributes.
+    tree = jax.tree_util.tree_map(
+        lambda a: a + 0.05 * jax.random.normal(jax.random.PRNGKey(8), a.shape),
+        tree,
+    )
+    x = jax.random.uniform(jax.random.PRNGKey(9), (2, 8, 8, 3), minval=-1, maxval=1)
+    t = jnp.array([7, 430])
+
+    o_merge = model.apply({"params": lora_merge(params, tree)}, x, t)
+    o_branch = model.apply(
+        {"params": params, "lora": lora_collection(tree)}, x, t
+    )
+    np.testing.assert_allclose(
+        np.asarray(o_merge), np.asarray(o_branch), atol=1e-5
+    )
+
+    def loss_merge(lo):
+        return jnp.sum(model.apply({"params": lora_merge(params, lo)}, x, t) ** 2)
+
+    def loss_branch(lo):
+        return jnp.sum(
+            model.apply({"params": params, "lora": lora_collection(lo)}, x, t) ** 2
+        )
+
+    g1 = jax.grad(loss_merge)(tree)
+    g2 = jax.grad(loss_branch)(tree)
+    for name in tree:
+        for leaf in ("down", "up"):
+            np.testing.assert_allclose(
+                np.asarray(g1[name][leaf]),
+                np.asarray(g2[name][leaf]),
+                atol=5e-4,
+                rtol=1e-3,
+            )
