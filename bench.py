@@ -1,16 +1,30 @@
-"""Benchmark: subset retrain+sample passes per hour per chip.
+"""Benchmark: subset retrain+sample passes per hour per chip (CIFAR DDPM).
 
-The reference's unit of work — one Shapley subset pass — is a sparsified
-fine-tune (200 train steps) plus sample generation for behavior scoring,
-at a median 646 s/subset on an RTX 6000 (~5.6 passes/hour/GPU; BASELINE.md).
+One "pass" mirrors the reference's unit of work for the unconditional
+workloads: a sparsified fine-tune (200 train steps at batch 64) plus
+50-image 100-step DDIM sampling per subset model, run as compiled ensemble
+programs (NUM_MEMBERS CIFAR-architecture 35.7M-param U-Nets, reference
+src/ddpm_config.py:48-100) on one chip. The train loop is a lax.scan on
+device (EnsembleTrainer.run_scanned).
 
-This benchmark runs the same shape of work TPU-native: an ensemble of
-NUM_MEMBERS CIFAR-architecture DDPM U-Nets (reference src/ddpm_config.py:
-48-100, 35.7M params each) trained subset-parallel for TRAIN_STEPS steps at
-batch BATCH (the sparse-FT budget), then 100-step DDIM sampling of N_SAMPLES
-images per member — all as compiled ensemble programs on one chip. Reported
-metric: completed subset passes per hour per chip; vs_baseline is the ratio
-to the reference's 5.6/h.
+vs_baseline is a LIKE-FOR-LIKE derived reference throughput, not the SD
+number. The reference's only measured wall time is 646 s/subset for the
+sparse-GD recipe on the miniSD LoRA workload (BASELINE.md:13). Its CIFAR
+equivalent is derived by FLOPs scaling with XLA cost analysis of the two
+U-Nets (this repo, single-image forward):
+
+    miniSD U-Net fwd   164.49 GFLOP/image   (860M params, 32x32x4 latents)
+    CIFAR U-Net fwd     11.72 GFLOP/image   (35.7M params, 32x32x3)
+
+    SD pass    = 200*64*3 + 50*100 fwd-equivalents = 43,400 * C_sd
+    CIFAR pass = 200*64*3 + 50*100 fwd-equivalents = 43,400 * C_cifar
+    ref CIFAR-pass time = 646 s * C_cifar / C_sd = 46.0 s
+    => BASELINE_PASSES_PER_HOUR = 3600 / 46.0 = 78.2
+
+This assumes the reference stack would be equally efficient on the small
+model as on miniSD — generous to the reference, since small models are more
+dispatch-bound on GPU. The SD workload itself is benchmarked apples-to-apples
+by bench_sd.py (same 646 s denominator, same model class).
 
 Output: one JSON line {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -23,9 +37,11 @@ import numpy as np
 NUM_MEMBERS = 8
 TRAIN_STEPS = 200
 BATCH = 64
-N_SAMPLES = 16
+N_SAMPLES = 50
 SAMPLE_STEPS = 100
-BASELINE_PASSES_PER_HOUR = 5.6  # BASELINE.md: 646 s/subset on RTX 6000
+# Derived like-for-like reference throughput for this workload (see module
+# docstring): 646 s * (11.72 / 164.49) = 46.0 s/pass.
+BASELINE_PASSES_PER_HOUR = 78.2
 
 
 def main():
@@ -75,8 +91,10 @@ def main():
     )["params"]
     state = trainer.init_state(params=params)
 
-    # Warm up the compiles outside the timed region.
-    state, _ = trainer.step(state, jax.random.PRNGKey(-1))
+    # Warm up the compiles outside the timed region (the scanned loop runs
+    # with fresh per-step keys inside, so the relay's execution memoization
+    # cannot short-circuit the timed run).
+    state, _ = trainer.run_scanned(state, TRAIN_STEPS, seed=99)
     jax.block_until_ready(state)
 
     sample_shape = (N_SAMPLES, 32, 32, 3)
@@ -95,8 +113,7 @@ def main():
     jax.block_until_ready(imgs)
 
     t0 = time.time()
-    for i in range(TRAIN_STEPS):
-        state, metrics = trainer.step(state, jax.random.PRNGKey(i))
+    state, metrics = trainer.run_scanned(state, TRAIN_STEPS, seed=0)
     jax.block_until_ready(state)
     train_s = time.time() - t0
 
@@ -115,6 +132,9 @@ def main():
                 "unit": "passes/hour/chip",
                 "vs_baseline": round(passes_per_hour / BASELINE_PASSES_PER_HOUR, 2),
                 "detail": {
+                    "workload": "cifar_ddpm_35.7M",
+                    "baseline_derivation": "646s SD sparse-gd pass scaled by "
+                    "fwd-FLOPs ratio 11.72/164.49 => 46.0s => 78.2 passes/h",
                     "num_members": NUM_MEMBERS,
                     "train_steps": TRAIN_STEPS,
                     "batch": BATCH,

@@ -6,38 +6,50 @@ the miniSD U-Net (SD 1.x at 256px -> 32x32 latents, rank-256 LoRA) plus
 50-image 100-step DDIM sampling — the sparse-gd recipe the reference times
 at 646 s/subset on an RTX 6000 (~5.6 passes/hour/GPU).
 
-Here NUM_MEMBERS subset LoRAs train as one vmapped program over a frozen
-bf16 base; caption embeddings and latents are precomputed, so the hot loop
-is U-Net-only. Emits one JSON line like bench.py.
+TPU-native structure (what makes this fast):
+  * NUM_MEMBERS subset LoRAs train as ONE compiled program (vmap over
+    members) against a single shared frozen bf16 base — LoRA rides as a
+    side branch (models.layers.LoRADense), so no per-member merged copy of
+    the 860M base ever exists in HBM.
+  * The whole 200-step train loop is a `lax.scan` inside one jit: one
+    dispatch for the entire fine-tune, no per-step host round-trips.
+  * Sampling batches members x 50 images through the U-Net per DDIM step,
+    also with side-branch LoRA, as one jit.
+  * Optimizer state can be blockwise-int8 (training.quantized.adam8bit) to
+    stretch member count; captions/latents are precomputed so the hot loop
+    is U-Net-only, like the reference's cached-latent recipe.
+
+Config via env: SD_MEMBERS (default 4), SD_BATCH (64 = exact reference
+recipe), SD_OPT (adamw|adam8bit), SD_TRAIN_STEPS, SD_SAMPLE_IMAGES.
 
 Run separately from bench.py (the default driver bench): the first compile
 of the 860M-param vmapped program through this image's remote-compile relay
 can take tens of minutes.
 
-Measured on one TPU v5e (reference: 646 s/subset => 5.57 passes/hour):
-
-    members x batch   passes/hour   vs reference
-    1 x 64 (exact)        40.25          7.2x
-    2 x 32                73.49         13.2x   (with the Pallas flash kernel)
-    4 x 16               125.84         22.6x
-
-Train time is nearly flat in member count (80 s for 200 steps at all three
-configs): at these batch sizes the step is bandwidth/latency-bound, so extra
-ensemble members ride almost free until HBM runs out (2 x 64 needs 22.5 GB).
+Roofline context (see ROADMAP.md "SD roofline" for the measured numbers):
+one exact-recipe pass costs ~43,400 U-Net forward-equivalents (200 steps x
+batch 64 x 3 for fwd+bwd + 50 images x 100 DDIM steps); with the U-Net
+forward FLOPs reported by XLA's cost analysis this bounds passes/hour/chip
+at peak bf16 throughput — the single-chip ceiling. The 50x BASELINE.md
+target is a v5p-8 figure: members shard over the mesh "ensemble" axis with
+zero cross-member communication (see __graft_entry__.dryrun_multichip), so
+passes/hour scales linearly with chips.
 """
 
 import functools
 import json
+import os
 import time
 
 import numpy as np
 
-NUM_MEMBERS = 2
-TRAIN_STEPS = 200
-BATCH = 32
-N_SAMPLE_IMAGES = 50
+NUM_MEMBERS = int(os.environ.get("SD_MEMBERS", "4"))
+TRAIN_STEPS = int(os.environ.get("SD_TRAIN_STEPS", "200"))
+BATCH = int(os.environ.get("SD_BATCH", "64"))
+N_SAMPLE_IMAGES = int(os.environ.get("SD_SAMPLE_IMAGES", "50"))
 SAMPLE_STEPS = 100
 RANK = 256
+OPT = os.environ.get("SD_OPT", "adam8bit")
 BASELINE_PASSES_PER_HOUR = 3600.0 / 646.0  # reference sparse-gd total
 
 
@@ -60,15 +72,24 @@ def main():
     )
     from group_attribution_for_diffusion_models_tpu.models import UNet2D
     from group_attribution_for_diffusion_models_tpu.models.lora import (
+        lora_collection,
         lora_init,
-        lora_merge,
     )
     from group_attribution_for_diffusion_models_tpu.parallel.ensemble import (
         pad_member_indices,
     )
     from group_attribution_for_diffusion_models_tpu.training import make_optimizer
+    from group_attribution_for_diffusion_models_tpu.training.quantized import (
+        adam8bit,
+    )
 
     spec = MINISD_UNET
+    if os.environ.get("SD_TINY"):  # plumbing smoke test (CPU-friendly)
+        from group_attribution_for_diffusion_models_tpu.cli.train_text_to_image_lora import (
+            tiny_sd_spec,
+        )
+
+        spec = tiny_sd_spec(8)
     sched_spec = MINISD_SCHEDULER
     schedule = make_schedule(sched_spec)
     model = UNet2D(spec, dtype=jnp.bfloat16, remat=True)
@@ -103,8 +124,14 @@ def main():
     ]
     stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *trees)
     n_lora = sum(p.size for p in jax.tree_util.tree_leaves(trees[0]))
-    tx = make_optimizer("adamw", lr=3e-4, lr_schedule="cosine",
-                        total_steps=TRAIN_STEPS)
+    if OPT == "adam8bit":
+        tx = optax.chain(
+            optax.clip_by_global_norm(1.0),
+            adam8bit(optax.cosine_decay_schedule(3e-4, max(TRAIN_STEPS, 1))),
+        )
+    else:
+        tx = make_optimizer("adamw", lr=3e-4, lr_schedule="cosine",
+                            total_steps=TRAIN_STEPS)
     opt_state = jax.vmap(tx.init)(stacked)
 
     # base/latents/ehs enter as jit ARGUMENTS: closure-captured arrays embed
@@ -118,22 +145,35 @@ def main():
         noise = jax.random.normal(k_n, lat.shape)
 
         def loss_fn(lo):
-            merged = lora_merge(base, lo)
             x_t = add_noise(schedule, lat, noise, t)
-            eps = model.apply({"params": merged}, x_t, t, ehs_b)
+            eps = model.apply(
+                {"params": base, "lora": lora_collection(lo)}, x_t, t, ehs_b
+            )
             return jnp.mean((eps - noise) ** 2)
 
         loss, grads = jax.value_and_grad(loss_fn)(lora)
         updates, opt_st = tx.update(grads, opt_st, lora)
         return optax.apply_updates(lora, updates), opt_st, loss
 
-    @functools.partial(jax.jit, donate_argnums=(3, 4))
-    def ensemble_step(base, lat_all, ehs_one, stacked, opt_state, key):
-        keys = jax.random.split(key, NUM_MEMBERS)
+    @functools.partial(jax.jit, donate_argnums=(3, 4), static_argnums=(6,))
+    def ensemble_train(base, lat_all, ehs_one, stacked, opt_state, key, n_steps):
+        """The whole fine-tune as one dispatch: lax.scan over n_steps, vmap
+        over members inside the body."""
         ehs_b = jnp.broadcast_to(ehs_one, (BATCH,) + ehs_one.shape[1:])
-        return jax.vmap(
-            member_step, in_axes=(None, None, None, 0, 0, 0, 0, 0)
-        )(base, lat_all, ehs_b, stacked, opt_state, table_j, sizes_j, keys)
+
+        def body(carry, step_key):
+            stacked, opt_state = carry
+            keys = jax.random.split(step_key, NUM_MEMBERS)
+            stacked, opt_state, loss = jax.vmap(
+                member_step, in_axes=(None, None, None, 0, 0, 0, 0, 0)
+            )(base, lat_all, ehs_b, stacked, opt_state, table_j, sizes_j, keys)
+            return (stacked, opt_state), loss
+
+        step_keys = jax.random.split(key, n_steps)
+        (stacked, opt_state), losses = jax.lax.scan(
+            body, (stacked, opt_state), step_keys
+        )
+        return stacked, opt_state, losses
 
     sample_shape = (N_SAMPLE_IMAGES, size, size, ch)
 
@@ -141,30 +181,47 @@ def main():
     def ensemble_sample(base, ehs_one, stacked, key):
         keys = jax.random.split(key, NUM_MEMBERS)
         ehs_s = jnp.broadcast_to(ehs_one, (N_SAMPLE_IMAGES,) + ehs_one.shape[1:])
-        return jax.vmap(
-            lambda lo, k: sample_loop(
-                model.apply, lora_merge(base, lo), schedule, sched_spec,
-                sample_shape, k, num_inference_steps=SAMPLE_STEPS, kind="ddim",
+
+        def member_sample(lo, k):
+            coll = lora_collection(lo)
+
+            def apply_fn(variables, *a, **kw):
+                return model.apply(
+                    {"params": variables["params"], "lora": coll}, *a, **kw
+                )
+
+            return sample_loop(
+                apply_fn, base, schedule, sched_spec, sample_shape, k,
+                num_inference_steps=SAMPLE_STEPS, kind="ddim",
                 encoder_hidden_states=ehs_s,
             )
-        )(stacked, keys)
 
-    print(f"# unet params: {n_params/1e6:.0f}M; lora params/member: {n_lora/1e6:.1f}M",
-          flush=True)
-    stacked, opt_state, _ = ensemble_step(
-        base_params, latents, ehs, stacked, opt_state, jax.random.PRNGKey(-1)
+        return jax.vmap(member_sample, in_axes=(0, 0))(stacked, keys)
+
+    print(f"# unet params: {n_params/1e6:.0f}M; lora params/member: {n_lora/1e6:.1f}M; "
+          f"members={NUM_MEMBERS} batch={BATCH} opt={OPT}", flush=True)
+
+    # Warm up with the exact shapes/static args the timed region uses, so the
+    # timed calls hit the cached executables (keys differ, so the relay's
+    # execution memoization cannot short-circuit the timed runs).
+    t_c0 = time.time()
+    stacked, opt_state, _ = ensemble_train(
+        base_params, latents, ehs, stacked, opt_state,
+        jax.random.PRNGKey(-1), TRAIN_STEPS,
     )
     jax.block_until_ready(stacked)
-    print("# train step compiled", flush=True)
+    print(f"# train loop compiled+warm ({time.time()-t_c0:.0f}s)", flush=True)
+
+    t_c0 = time.time()
     imgs = ensemble_sample(base_params, ehs, stacked, jax.random.PRNGKey(-2))
     jax.block_until_ready(imgs)
-    print("# sampler compiled", flush=True)
+    print(f"# sampler compiled+warm ({time.time()-t_c0:.0f}s)", flush=True)
 
     t0 = time.time()
-    for i in range(TRAIN_STEPS):
-        stacked, opt_state, loss = ensemble_step(
-            base_params, latents, ehs, stacked, opt_state, jax.random.PRNGKey(i)
-        )
+    stacked, opt_state, losses = ensemble_train(
+        base_params, latents, ehs, stacked, opt_state,
+        jax.random.PRNGKey(1), TRAIN_STEPS,
+    )
     jax.block_until_ready(stacked)
     train_s = time.time() - t0
 
@@ -173,8 +230,47 @@ def main():
     jax.block_until_ready(imgs)
     sample_s = time.time() - t0
 
+    # XLA-reported FLOPs for the roofline note (after timing so a slow
+    # cost-analysis path cannot pollute the measurement; unavailable on some
+    # relays).
+    train_gflops = sample_gflops = None
+    try:
+        c = ensemble_train.lower(
+            base_params, latents, ehs, stacked, opt_state,
+            jax.random.PRNGKey(0), TRAIN_STEPS,
+        ).compile().cost_analysis()
+        c = c[0] if isinstance(c, (list, tuple)) else c
+        train_gflops = c.get("flops", 0.0) / 1e9
+    except Exception:
+        pass
+    try:
+        c = ensemble_sample.lower(
+            base_params, ehs, stacked, jax.random.PRNGKey(0)
+        ).compile().cost_analysis()
+        c = c[0] if isinstance(c, (list, tuple)) else c
+        sample_gflops = c.get("flops", 0.0) / 1e9
+    except Exception:
+        pass
+
     total_s = train_s + sample_s
     passes_per_hour = NUM_MEMBERS / (total_s / 3600.0)
+    detail = {
+        "num_members": NUM_MEMBERS,
+        "train_steps": TRAIN_STEPS,
+        "batch": BATCH,
+        "rank": RANK,
+        "opt": OPT,
+        "n_sample_images": N_SAMPLE_IMAGES,
+        "sample_steps": SAMPLE_STEPS,
+        "train_s": round(train_s, 1),
+        "sample_s": round(sample_s, 1),
+        "unet_params_m": round(n_params / 1e6),
+        "final_loss": round(float(np.asarray(losses)[-1].mean()), 4),
+    }
+    if train_gflops:
+        detail["train_tflops_per_s"] = round(train_gflops / 1e3 / train_s, 1)
+    if sample_gflops:
+        detail["sample_tflops_per_s"] = round(sample_gflops / 1e3 / sample_s, 1)
     print(
         json.dumps(
             {
@@ -182,17 +278,7 @@ def main():
                 "value": round(passes_per_hour, 2),
                 "unit": "passes/hour/chip",
                 "vs_baseline": round(passes_per_hour / BASELINE_PASSES_PER_HOUR, 2),
-                "detail": {
-                    "num_members": NUM_MEMBERS,
-                    "train_steps": TRAIN_STEPS,
-                    "batch": BATCH,
-                    "rank": RANK,
-                    "n_sample_images": N_SAMPLE_IMAGES,
-                    "sample_steps": SAMPLE_STEPS,
-                    "train_s": round(train_s, 1),
-                    "sample_s": round(sample_s, 1),
-                    "unet_params_m": round(n_params / 1e6),
-                },
+                "detail": detail,
             }
         )
     )
