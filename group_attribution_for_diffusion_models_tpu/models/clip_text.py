@@ -129,24 +129,17 @@ class HashTokenizer:
 
 
 def load_tokenizer(vocab_dir: Optional[str] = None, max_length: int = 77):
-    """Real CLIP tokenizer when vocab files exist locally, else HashTokenizer."""
+    """Real CLIP BPE when vocab files exist locally, else HashTokenizer.
+
+    Uses the in-repo pure-Python byte-pair encoder (models.clip_tokenizer,
+    parity-tested against transformers.CLIPTokenizer) — no transformers
+    dependency at runtime."""
     if vocab_dir is not None:
         try:
-            from transformers import CLIPTokenizer
+            from .clip_tokenizer import CLIPBPETokenizer
 
-            tok = CLIPTokenizer.from_pretrained(vocab_dir)
-
-            def tokenize(texts):
-                return np.asarray(
-                    tok(
-                        list(texts), padding="max_length", truncation=True,
-                        max_length=max_length, return_tensors="np",
-                    )["input_ids"],
-                    np.int32,
-                )
-
-            return tokenize
-        except Exception:
+            return CLIPBPETokenizer.from_dir(vocab_dir, max_length=max_length)
+        except (OSError, ValueError, KeyError):
             pass
     return HashTokenizer(max_length=max_length)
 
