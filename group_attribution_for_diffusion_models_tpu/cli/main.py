@@ -68,6 +68,19 @@ def parse_args(argv=None):
                         choices=["none", "save", "reuse"],
                         help="VQ-VAE latent precompute mode for LDM datasets "
                              "(reference main.py:490-546)")
+    parser.add_argument("--text_encoder_weights", type=str, default=None,
+                        help="converted CLIP text params (.npz from "
+                             "cli.convert_weights clip_text, or a torch "
+                             "state-dict file) for conditional datasets")
+    parser.add_argument("--random_text_encoder", action="store_true",
+                        default=False,
+                        help="explicitly allow a randomly initialized text "
+                             "encoder (smoke tests only — prompt "
+                             "conditioning is meaningless without real "
+                             "weights)")
+    parser.add_argument("--n_inference_samples", type=int, default=None,
+                        help="images per in-training EMA sample grid "
+                             "(default min(config n_samples, 16))")
     return parser.parse_args(argv)
 
 
@@ -184,7 +197,11 @@ def main(argv=None):
     # (reference main.py:666-670 captioner/text_encoder path).
     class_emb = None
     if spec.conditional:
-        from ..models.clip_text import CLIPTextEncoder, load_tokenizer
+        from ..models.clip_text import (
+            CLIPTextEncoder,
+            load_clip_text,
+            load_tokenizer,
+        )
         from ..pipelines import ImagenetteCaptioner
 
         captioner = ImagenetteCaptioner()
@@ -194,9 +211,46 @@ def main(argv=None):
             layers=12 if width >= 768 else 2,
             heads=12 if width % 12 == 0 else max(width // 16, 1),
         )
-        text_params = text.init(
-            jax.random.PRNGKey(11), jnp.zeros((1, 77), jnp.int32)
-        )["params"]
+        if args.text_encoder_weights:
+            text_params = load_clip_text(args.text_encoder_weights)
+            probe = jax.eval_shape(
+                lambda: text.init(
+                    jax.random.PRNGKey(0), jnp.zeros((1, 77), jnp.int32)
+                )
+            )["params"]
+            want = {
+                "/".join(map(str, p)): tuple(l.shape)
+                for p, l in jax.tree_util.tree_flatten_with_path(probe)[0]
+            }
+            got = {
+                "/".join(k.key for k in p): tuple(np.shape(l))
+                for p, l in jax.tree_util.tree_flatten_with_path(text_params)[0]
+            }
+            if want.keys() != got.keys() or any(
+                want[k] != got[k] for k in want
+            ):
+                diff = sorted(set(want.items()) ^ set(got.items()))[:8]
+                raise SystemExit(
+                    f"--text_encoder_weights does not match the "
+                    f"{width}-wide text tower; first mismatches: {diff}"
+                )
+            print(f"loaded text encoder weights from {args.text_encoder_weights}")
+        elif args.random_text_encoder:
+            print(
+                "WARNING: conditional training with a RANDOM text encoder — "
+                "prompt conditioning carries no semantics (smoke mode)",
+                flush=True,
+            )
+            text_params = text.init(
+                jax.random.PRNGKey(11), jnp.zeros((1, 77), jnp.int32)
+            )["params"]
+        else:
+            raise SystemExit(
+                f"dataset {args.dataset!r} is prompt-conditional: pass "
+                "--text_encoder_weights <converted .npz / torch state dict> "
+                "(see cli.convert_weights clip_text), or opt in to a random "
+                "encoder with --random_text_encoder"
+            )
         tokenize = load_tokenizer()
         n_cls = max(int(dataset.labels.max()) + 1, 1)
         prompts = captioner(
@@ -205,6 +259,53 @@ def main(argv=None):
         class_emb = jnp.asarray(
             text.apply({"params": text_params}, jnp.asarray(tokenize(prompts)))
         )
+
+    # In-training EMA inference hook (reference main.py:773-788): every
+    # sample_freq steps, DDIM-sample a small grid from the EMA params and
+    # save it under <model_dir>/samples/.
+    sample_freq = args.sample_freq or cfg.train.sample_freq.get(method_base, 0)
+    sampling_time = 0.0
+
+    def save_sample_grid(state, step):
+        from PIL import Image
+
+        from ..diffusion.sampling import sample_loop
+        from .common import vq_decode_fn_for
+
+        n_s = args.n_inference_samples or min(cfg.train.n_samples or 16, 16)
+        shape = (n_s, spec.sample_size, spec.sample_size, spec.in_channels)
+        ehs_s = (
+            class_emb[np.arange(n_s) % class_emb.shape[0]]
+            if class_emb is not None
+            else None
+        )
+        decode = (
+            vq_decode_fn_for(cfg, args.vqvae_weights)
+            if cfg.vqvae is not None
+            else None
+        )
+        imgs = np.asarray(
+            sample_loop(
+                model.apply, state.ema_params, schedule, cfg.scheduler, shape,
+                jax.random.PRNGKey(1_000_000 + step),
+                num_inference_steps=100, kind="ddim",
+                encoder_hidden_states=ehs_s, decode_fn=decode,
+            )
+        )
+        cols = min(n_s, 4)
+        rows = -(-n_s // cols)
+        h, w, c = imgs.shape[1:]
+        grid = np.zeros((rows * h, cols * w, c), np.float32)
+        for i, im in enumerate(imgs):
+            r, col = divmod(i, cols)
+            grid[r * h:(r + 1) * h, col * w:(col + 1) * w] = im
+        arr = (np.clip(grid, 0, 1) * 255).round().astype(np.uint8)
+        if arr.shape[-1] == 1:
+            arr = arr[..., 0]
+        os.makedirs(os.path.join(model_dir, "samples"), exist_ok=True)
+        path = os.path.join(model_dir, "samples", f"steps_{step:08d}.png")
+        Image.fromarray(arr).save(path)
+        print(f"saved EMA sample grid: {path}", flush=True)
 
     batches = batch_iterator(subset, min(batch_size, len(subset)), seed=args.opt_seed)
     tracker = tracker_for(args, f"{args.dataset}_{args.method}")
@@ -236,12 +337,16 @@ def main(argv=None):
                      "steps_time": el},
                     step_i + 1,
                 )
+            if sample_freq and (step_i + 1) % sample_freq == 0:
+                t_s = time.time()
+                save_sample_grid(state, step_i + 1)
+                sampling_time += time.time() - t_s
             if (step_i + 1) % ckpt_freq == 0 or step_i + 1 == training_steps:
                 save_checkpoint(
                     model_dir, step_i + 1, state, remaining_idx, removed_idx,
                     total_steps_time + (time.time() - t_start), unet_spec=spec,
                 )
-    total_steps_time += time.time() - t_start
+    total_steps_time += time.time() - t_start - sampling_time
     tracker.finish()
 
     db = args.db or os.path.join(args.outdir, f"{args.dataset}_train_db.jsonl")
@@ -253,6 +358,7 @@ def main(argv=None):
             remaining_idx=remaining_idx,
             removed_idx=removed_idx,
             total_steps_time=total_steps_time,
+            sampling_time=sampling_time,
             model_dir=model_dir,
         ),
     )

@@ -144,6 +144,34 @@ def load_tokenizer(vocab_dir: Optional[str] = None, max_length: int = 77):
     return HashTokenizer(max_length=max_length)
 
 
+def unflatten_params(flat) -> Dict:
+    """'/'-joined flat mapping (cli.convert_weights .npz layout) -> nested."""
+    nested: Dict[str, Any] = {}
+    for key in flat.keys() if hasattr(flat, "keys") else flat:
+        node = nested
+        parts = key.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = jnp.asarray(flat[key])
+    return nested
+
+
+def load_clip_text(weights_path: str) -> Dict:
+    """Converted CLIP text params from a .npz (cli.convert_weights clip_text)
+    or directly from a torch CLIPTextModel state-dict file."""
+    if weights_path.endswith(".npz"):
+        return unflatten_params(np.load(weights_path))
+    import torch
+
+    sd = torch.load(weights_path, map_location="cpu", weights_only=False)
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    return jax.tree_util.tree_map(
+        jnp.asarray,
+        convert_clip_text_state_dict({k: np.asarray(v) for k, v in sd.items()}),
+    )
+
+
 def convert_clip_text_state_dict(state_dict: Dict[str, Any]) -> Dict:
     """HF CLIPTextModel state dict -> this module's flax params."""
     p: Dict[str, Any] = {}

@@ -194,3 +194,55 @@ def test_lds_full_null_db_anchors(tmp_path):
         "--full_db", full_db, "--null_db", null_db,
         "--train_size_step", "40",
     ])
+
+
+def test_sample_freq_in_training_hook(outdir):
+    """--sample_freq saves EMA sample grids mid-training (reference
+    main.py:773-788)."""
+    from group_attribution_for_diffusion_models_tpu.cli import main as train_main
+
+    d = os.path.join(outdir, "hook")
+    train_main.main([
+        "--dataset", DATASET, "--method", "retrain", "--removal_dist", "full",
+        "--outdir", d, "--training_steps", "4", "--sample_freq", "2",
+        "--n_inference_samples", "2",
+        "--db", os.path.join(d, "db.jsonl"),
+    ])
+    samples = os.path.join(d, DATASET, "retrain", "models", "full", "samples")
+    assert sorted(os.listdir(samples)) == [
+        "steps_00000002.png", "steps_00000004.png",
+    ]
+
+
+def test_conditional_requires_text_encoder_weights(tmp_path):
+    """Conditional datasets refuse to train with a silently-random text
+    encoder; --random_text_encoder is the explicit smoke-mode opt-in, and
+    mismatched weights fail loudly."""
+    import pytest as _pytest
+
+    from group_attribution_for_diffusion_models_tpu.cli import main as train_main
+    from group_attribution_for_diffusion_models_tpu.cli.common import config_for
+
+    cond = "synthetic_64x8_cond"
+    assert config_for(cond).unet.conditional
+
+    argv = [
+        "--dataset", cond, "--method", "retrain", "--removal_dist", "full",
+        "--outdir", str(tmp_path), "--training_steps", "2",
+        "--db", str(tmp_path / "db.jsonl"),
+    ]
+    with _pytest.raises(SystemExit, match="text_encoder_weights"):
+        train_main.main(argv)
+
+    # Wrong-shaped weights are rejected with a mismatch message.
+    bad = tmp_path / "bad_text.npz"
+    np.savez(bad, **{"token_embedding/embedding": np.zeros((3, 4), np.float32)})
+    with _pytest.raises(SystemExit, match="does not match"):
+        train_main.main(argv + ["--text_encoder_weights", str(bad)])
+
+    # Explicit random opt-in trains.
+    train_main.main(argv + ["--random_text_encoder"])
+    model_dir = os.path.join(
+        str(tmp_path), cond, "retrain", "models", "full"
+    )
+    assert any(n.startswith("ckpt_steps_") for n in os.listdir(model_dir))

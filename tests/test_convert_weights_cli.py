@@ -142,3 +142,40 @@ def test_convert_blip_cli(tmp_path):
     _, variables = load_blip_vision(dst, tiny=True)
     out = model.apply(variables, jnp.zeros((2, 32, 32, 3)))
     assert out.shape == (2, 32)
+
+
+def test_load_clip_text_npz_roundtrip(tmp_path):
+    """Converted .npz text-encoder params load back bit-exact, so identical
+    prompts give identical embeddings in every process (cli.main conditional
+    path)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from group_attribution_for_diffusion_models_tpu.models.clip_text import (
+        CLIPTextEncoder,
+        load_clip_text,
+    )
+
+    text = CLIPTextEncoder(vocab_size=64, width=16, layers=2, heads=2)
+    params = text.init(
+        jax.random.PRNGKey(3), jnp.zeros((1, 77), jnp.int32)
+    )["params"]
+
+    def flatten(tree, prefix=""):
+        out = {}
+        for k, v in tree.items():
+            key = f"{prefix}/{k}" if prefix else k
+            out.update(flatten(v, key)) if isinstance(v, dict) else out.__setitem__(
+                key, np.asarray(v)
+            )
+        return out
+
+    path = tmp_path / "text.npz"
+    np.savez(path, **flatten(params))
+    loaded = load_clip_text(str(path))
+
+    ids = jnp.asarray(np.array([[1, 5, 9] + [0] * 74]))
+    a = text.apply({"params": params}, ids)
+    b = text.apply({"params": loaded}, ids)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
