@@ -53,6 +53,16 @@ def parse_args(argv=None):
                         help="cached reference stats .pkl (computed if absent)")
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--skip_pr", action="store_true", default=False)
+    parser.add_argument("--pr_extractor", type=str, default="inception",
+                        choices=["inception", "vgg16"],
+                        help="P&R feature tower; 'vgg16' matches the "
+                             "reference's StyleGAN2 VGG16 features "
+                             "(reference precision_recall.py:31-51)")
+    parser.add_argument("--vgg16_weights", type=str, default=None,
+                        help="torchvision-style vgg16 state dict for "
+                             "--pr_extractor vgg16")
+    parser.add_argument("--pr_vgg_tiny", action="store_true", default=False,
+                        help="narrow VGG tower for smoke tests")
     parser.add_argument("--per_class", action="store_true", default=False,
                         help="average FID over class subdirs of --sample_dir")
     return parser.parse_args(argv)
@@ -178,8 +188,26 @@ def main(argv=None):
 
     fid_value = calculate_fid_from_features(gen_feats, ref_stats=ref_stats)
     is_mean, is_std = inception_score_from_logits(gen_logits)
-    if args.skip_pr or ref_feats is None:
+    if args.skip_pr or (ref_feats is None and args.pr_extractor == "inception"):
         precision = recall = None
+    elif args.pr_extractor == "vgg16":
+        # Reference parity: P&R on VGG16 fc2 features (reference
+        # precision_recall.py:31-51), separate from the FID/IS tower.
+        from ..attributions.global_scores.vgg16 import (
+            load_vgg16,
+            make_vgg_feature_fn,
+        )
+
+        vgg, vgg_vars = load_vgg16(args.vgg16_weights, tiny=args.pr_vgg_tiny)
+        vgg_extract = make_vgg_feature_fn(vgg, vgg_vars,
+                                          batch_size=args.batch_size)
+        ref = create_dataset(args.dataset, train=True)
+        ref_imgs = ref.images[: max(args.n_samples, 2048)] / 2.0 + 0.5
+        if ref_imgs.shape[-1] == 1:
+            ref_imgs = np.repeat(ref_imgs, 3, axis=-1)
+        precision, recall = compute_precision_recall(
+            vgg_extract(ref_imgs), vgg_extract(samples)
+        )
     else:
         precision, recall = compute_precision_recall(ref_feats, gen_feats)
     scoring_time = time.time() - t0
