@@ -171,12 +171,11 @@ def main(argv=None):
         clip_prompt = (_norm(emb_sub) * _norm(txt_emb)).sum(axis=1)
     else:
         clip_prompt = np.zeros(len(emb_sub))
-    aest = AestheticHead()
-    aest_vars = aest.init(jax.random.PRNGKey(3), jnp.zeros((1, emb_sub.shape[1])))
-    if args.aesthetic_weights:
-        w = np.load(args.aesthetic_weights)
-        aest_vars = {"params": {"linear": {"kernel": jnp.asarray(w["kernel"]),
-                                            "bias": jnp.asarray(w["bias"])}}}
+    from ..models.clip_vision import load_aesthetic_head
+
+    aest, aest_vars = load_aesthetic_head(
+        args.aesthetic_weights, dim=emb_sub.shape[1]
+    )
     aesthetic = np.asarray(aest.apply(aest_vars, jnp.asarray(emb_sub)))
     times["clip_aesthetic"] = time.time() - t0
 

@@ -67,12 +67,11 @@ def main(argv=None):
             args.clip_weights, tiny=args.dataset.startswith("synthetic")
         )
         emb = make_embed_fn(vis, vis_vars)(train_imgs[..., :3])
-        head = AestheticHead()
-        head_vars = head.init(jax.random.PRNGKey(0), jnp.zeros((1, emb.shape[1])))
-        if args.aesthetic_weights:
-            w = np.load(args.aesthetic_weights)
-            head_vars = {"params": {"linear": {"kernel": jnp.asarray(w["kernel"]),
-                                                "bias": jnp.asarray(w["bias"])}}}
+        from ..models.clip_vision import load_aesthetic_head
+
+        head, head_vars = load_aesthetic_head(
+            args.aesthetic_weights, dim=emb.shape[1]
+        )
         scores_per_train = np.asarray(head.apply(head_vars, jnp.asarray(emb)))
         groups = np.unique(labels)
         attrs = np.array([

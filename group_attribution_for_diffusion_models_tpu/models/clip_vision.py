@@ -85,6 +85,39 @@ class AestheticHead(nn.Module):
         return nn.Dense(1, name="linear")(e)[:, 0]
 
 
+def load_aesthetic_head(weights_path: Optional[str] = None, dim: int = 768):
+    """(AestheticHead, variables) with the LAION linear-probe weights.
+
+    Accepts either the original torch state dict (sa_0_4_vit_l_14_linear.pth
+    — nn.Linear(768, 1) with weight (1, 768) / bias (1,), reference
+    src/aesthetics.py:8-27) or an .npz with kernel (768, 1) / bias (1,).
+    Random init without a path (scores then carry no aesthetic semantics)."""
+    head = AestheticHead()
+    if weights_path is None:
+        variables = head.init(jax.random.PRNGKey(0), jnp.zeros((1, dim)))
+        return head, variables
+    if weights_path.endswith(".npz"):
+        w = np.load(weights_path)
+        kernel, bias = np.asarray(w["kernel"]), np.asarray(w["bias"])
+    else:
+        import torch
+
+        sd = torch.load(weights_path, map_location="cpu", weights_only=False)
+        if hasattr(sd, "state_dict"):
+            sd = sd.state_dict()
+        kernel = np.asarray(sd["weight"]).T  # (1, dim) -> (dim, 1)
+        bias = np.asarray(sd["bias"])
+    if kernel.shape[0] != dim:
+        raise ValueError(
+            f"aesthetic head expects a ({dim}, 1) kernel, got {kernel.shape}"
+        )
+    variables = {
+        "params": {"linear": {"kernel": jnp.asarray(kernel),
+                              "bias": jnp.asarray(bias)}}
+    }
+    return head, variables
+
+
 def make_embed_fn(model: CLIPVisionEncoder, variables, batch_size: int = 64):
     """Batched jitted embedding extractor over (N, H, W, 3) [0,1] arrays."""
 

@@ -77,7 +77,14 @@ class UNet2D(nn.Module):
             spec.block_out_channels[0] * 4, dtype=self.dtype, name="time_embedding"
         )(temb)
 
+        # Remat covers every block type: the transformer blocks' GEGLU/ff
+        # activations (seq x 4*channels bf16 per block) dominate HBM at
+        # ensemble batch sizes, not the resnets.
         resnet_cls = nn.remat(ResnetBlock) if self.remat else ResnetBlock
+        self_attn_cls = nn.remat(SelfAttention2D) if self.remat else SelfAttention2D
+        xattn_cls = (
+            nn.remat(SpatialTransformer) if self.remat else SpatialTransformer
+        )
 
         def resnet(path: str, out_ch: int):
             return resnet_cls(
@@ -91,7 +98,7 @@ class UNet2D(nn.Module):
             )
 
         def self_attn(path: str):
-            return SelfAttention2D(
+            return self_attn_cls(
                 head_dim=spec.attention_head_dim,
                 groups=spec.norm_num_groups,
                 eps=spec.norm_eps,
@@ -102,7 +109,7 @@ class UNet2D(nn.Module):
         def cross_attn(path: str):
             # UNet2DConditionModel convention: attention_head_dim is the head
             # count (reference src/ddpm_config.py:550).
-            return SpatialTransformer(
+            return xattn_cls(
                 num_heads=spec.attention_head_dim or 8,
                 groups=spec.norm_num_groups,
                 eps=spec.norm_eps,

@@ -111,3 +111,39 @@ def test_blip_vision_converter_matches_torch_forward():
     )
     got = np.asarray(ours.apply({"params": params}, jnp.asarray(imgs01)))
     np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-3)
+
+
+def test_aesthetic_head_torch_state_dict():
+    """The LAION aesthetic probe (nn.Linear(768,1) on the normalized CLIP
+    embedding, reference src/aesthetics.py:8-27) loads from its original
+    torch .pth layout and matches the torch forward."""
+    import jax.numpy as jnp
+
+    from group_attribution_for_diffusion_models_tpu.models.clip_vision import (
+        load_aesthetic_head,
+    )
+
+    torch.manual_seed(0)
+    lin = torch.nn.Linear(768, 1).eval()
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "sa_0_4_vit_l_14_linear.pth")
+        torch.save(lin.state_dict(), path)
+        head, variables = load_aesthetic_head(path)
+
+    emb = np.random.RandomState(0).normal(size=(3, 768)).astype(np.float32)
+    t = torch.tensor(emb)
+    with torch.no_grad():
+        want = lin(t / t.norm(dim=-1, keepdim=True)).numpy()[:, 0]
+    got = np.asarray(head.apply(variables, jnp.asarray(emb)))
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+    # Wrong-dimension weights fail loudly.
+    import pytest as _pytest
+
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "bad.pth")
+        torch.save(torch.nn.Linear(512, 1).state_dict(), path)
+        with _pytest.raises(ValueError, match="768"):
+            load_aesthetic_head(path)
