@@ -7,6 +7,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # end-to-end CLI tier; deselect with -m 'not slow'
+
 from group_attribution_for_diffusion_models_tpu.utils import read_records
 
 

@@ -3,6 +3,9 @@
 import os
 
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow  # end-to-end CLI tier; deselect with -m 'not slow'
 
 
 def test_per_timestep_local_loss(tmp_path):

@@ -5,6 +5,8 @@ import os
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # end-to-end CLI tier; deselect with -m 'not slow'
 from PIL import Image
 
 from group_attribution_for_diffusion_models_tpu.utils import append_record

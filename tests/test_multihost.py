@@ -9,6 +9,8 @@ import sys
 
 import pytest
 
+pytestmark = pytest.mark.slow  # end-to-end CLI tier; deselect with -m 'not slow'
+
 
 def _free_port() -> int:
     with socket.socket() as s:

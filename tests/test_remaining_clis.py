@@ -8,6 +8,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # end-to-end CLI tier; deselect with -m 'not slow'
+
 
 def _behavior_rows(dist, n, d, rng, flip=None):
     rows = []

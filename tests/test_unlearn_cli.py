@@ -5,6 +5,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # end-to-end CLI tier; deselect with -m 'not slow'
+
 DATASET = "synthetic_64x8"
 
 
