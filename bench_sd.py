@@ -50,6 +50,11 @@ N_SAMPLE_IMAGES = int(os.environ.get("SD_SAMPLE_IMAGES", "50"))
 SAMPLE_STEPS = 100
 RANK = 256
 OPT = os.environ.get("SD_OPT", "adam8bit")
+# Steps per scan dispatch: this image's remote-execute relay times out
+# single dispatches of a few minutes, so the 200-step loop runs as a few
+# ~40 s scan chunks (still no per-step host round-trips).
+SCAN_CHUNK = int(os.environ.get("SD_SCAN_CHUNK", "25"))
+REMAT = os.environ.get("SD_REMAT", "1") == "1"
 BASELINE_PASSES_PER_HOUR = 3600.0 / 646.0  # reference sparse-gd total
 
 
@@ -92,7 +97,9 @@ def main():
         spec = tiny_sd_spec(8)
     sched_spec = MINISD_SCHEDULER
     schedule = make_schedule(sched_spec)
-    model = UNet2D(spec, dtype=jnp.bfloat16, remat=True)
+    # remat=False fits 1 member x batch 64 in HBM and skips the ~1/3
+    # recompute; remat=True is what lets >= 4 members train concurrently.
+    model = UNet2D(spec, dtype=jnp.bfloat16, remat=REMAT)
 
     size, ch = spec.sample_size, spec.in_channels
     base_params = model.init(
@@ -201,13 +208,16 @@ def main():
     print(f"# unet params: {n_params/1e6:.0f}M; lora params/member: {n_lora/1e6:.1f}M; "
           f"members={NUM_MEMBERS} batch={BATCH} opt={OPT}", flush=True)
 
+    chunk = min(SCAN_CHUNK, TRAIN_STEPS)
+    n_chunks = -(-TRAIN_STEPS // chunk)
+
     # Warm up with the exact shapes/static args the timed region uses, so the
     # timed calls hit the cached executables (keys differ, so the relay's
     # execution memoization cannot short-circuit the timed runs).
     t_c0 = time.time()
     stacked, opt_state, _ = ensemble_train(
         base_params, latents, ehs, stacked, opt_state,
-        jax.random.PRNGKey(-1), TRAIN_STEPS,
+        jax.random.PRNGKey(-1), chunk,
     )
     jax.block_until_ready(stacked)
     print(f"# train loop compiled+warm ({time.time()-t_c0:.0f}s)", flush=True)
@@ -218,10 +228,12 @@ def main():
     print(f"# sampler compiled+warm ({time.time()-t_c0:.0f}s)", flush=True)
 
     t0 = time.time()
-    stacked, opt_state, losses = ensemble_train(
-        base_params, latents, ehs, stacked, opt_state,
-        jax.random.PRNGKey(1), TRAIN_STEPS,
-    )
+    losses = None
+    for c in range(n_chunks):
+        stacked, opt_state, losses = ensemble_train(
+            base_params, latents, ehs, stacked, opt_state,
+            jax.random.PRNGKey(1 + c), chunk,
+        )
     jax.block_until_ready(stacked)
     train_s = time.time() - t0
 
@@ -237,10 +249,10 @@ def main():
     try:
         c = ensemble_train.lower(
             base_params, latents, ehs, stacked, opt_state,
-            jax.random.PRNGKey(0), TRAIN_STEPS,
+            jax.random.PRNGKey(0), chunk,
         ).compile().cost_analysis()
         c = c[0] if isinstance(c, (list, tuple)) else c
-        train_gflops = c.get("flops", 0.0) / 1e9
+        train_gflops = c.get("flops", 0.0) / 1e9 * n_chunks
     except Exception:
         pass
     try:
@@ -254,12 +266,23 @@ def main():
 
     total_s = train_s + sample_s
     passes_per_hour = NUM_MEMBERS / (total_s / 3600.0)
+    # Model-FLOPs throughput (analytic: 164.49 GFLOP per miniSD forward at
+    # 32x32x4, XLA cost analysis; fwd+bwd = 3x fwd, remat recompute not
+    # counted — i.e. this is MFU-style useful work, not executed work).
+    fwd_tflop = 0.16449
+    train_model_tflop = TRAIN_STEPS * NUM_MEMBERS * BATCH * fwd_tflop * 3
+    sample_model_tflop = NUM_MEMBERS * N_SAMPLE_IMAGES * SAMPLE_STEPS * fwd_tflop
+
     detail = {
         "num_members": NUM_MEMBERS,
         "train_steps": TRAIN_STEPS,
         "batch": BATCH,
         "rank": RANK,
         "opt": OPT,
+        "remat": REMAT,
+        "scan_chunk": chunk,
+        "train_model_tflops_per_s": round(train_model_tflop / train_s, 1),
+        "sample_model_tflops_per_s": round(sample_model_tflop / sample_s, 1),
         "n_sample_images": N_SAMPLE_IMAGES,
         "sample_steps": SAMPLE_STEPS,
         "train_s": round(train_s, 1),
