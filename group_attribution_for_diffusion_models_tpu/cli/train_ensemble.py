@@ -200,13 +200,21 @@ def main(argv=None):
 
     t_start = time.time()
     tracker = tracker_for(args, f"{args.dataset}_ensemble_{args.method}")
-    state, metrics = trainer.run(
-        state, training_steps, seed=args.opt_seed,
-        log_every=args.log_freq,
-        log_fn=lambda m, i: tracker.log(
-            {"loss_mean": float(np.mean(np.asarray(m["loss"])))}, i
-        ),
-    )
+    if training_steps > 0:
+        # Whole loop as lax.scan chunks on device (one dispatch per chunk of
+        # log_freq steps), not one dispatch per step.
+        metrics = None
+        chunk = args.log_freq if args.log_freq > 0 else training_steps
+        state, metrics = trainer.run_scanned(
+            state, training_steps, seed=args.opt_seed, chunk=chunk,
+        )
+        per_step = np.asarray(metrics["loss"])  # (steps, members)
+        if args.log_freq > 0:
+            for i in range(chunk - 1, training_steps, chunk):
+                tracker.log({"loss_mean": float(per_step[i].mean())}, i + 1)
+        metrics = {"loss": per_step[-1]}
+    else:
+        metrics = None
     jax.block_until_ready(state.params)
     train_time = time.time() - t_start
     if metrics is not None:

@@ -153,6 +153,7 @@ def test_combined_ldm_cross_attention_training(tmp_path):
         "--dataset", "synthetic_64x16_ldm_cond", "--method", "retrain",
         "--removal_dist", "shapley", "--removal_seed", "0",
         "--outdir", out, "--training_steps", "2", "--log_freq", "1",
+        "--random_text_encoder",
     ])
     d = os.path.join(out, "synthetic_64x16_ldm_cond", "retrain", "models",
                      "shapley", "shapley_seed=0")
