@@ -208,17 +208,23 @@ def main():
     print(f"# unet params: {n_params/1e6:.0f}M; lora params/member: {n_lora/1e6:.1f}M; "
           f"members={NUM_MEMBERS} batch={BATCH} opt={OPT}", flush=True)
 
+    # Chunk sizes covering TRAIN_STEPS exactly (the last chunk carries the
+    # remainder, so a TRAIN_STEPS that isn't a SCAN_CHUNK multiple doesn't
+    # silently train extra steps and skew the throughput numbers).
     chunk = min(SCAN_CHUNK, TRAIN_STEPS)
-    n_chunks = -(-TRAIN_STEPS // chunk)
+    chunk_sizes = [chunk] * (TRAIN_STEPS // chunk) if chunk else []
+    if TRAIN_STEPS - sum(chunk_sizes):
+        chunk_sizes.append(TRAIN_STEPS - sum(chunk_sizes))
 
     # Warm up with the exact shapes/static args the timed region uses, so the
     # timed calls hit the cached executables (keys differ, so the relay's
     # execution memoization cannot short-circuit the timed runs).
     t_c0 = time.time()
-    stacked, opt_state, _ = ensemble_train(
-        base_params, latents, ehs, stacked, opt_state,
-        jax.random.PRNGKey(-1), chunk,
-    )
+    for n in sorted(set(chunk_sizes)):
+        stacked, opt_state, _ = ensemble_train(
+            base_params, latents, ehs, stacked, opt_state,
+            jax.random.PRNGKey(-1), n,
+        )
     jax.block_until_ready(stacked)
     print(f"# train loop compiled+warm ({time.time()-t_c0:.0f}s)", flush=True)
 
@@ -229,10 +235,10 @@ def main():
 
     t0 = time.time()
     losses = None
-    for c in range(n_chunks):
+    for c, n in enumerate(chunk_sizes):
         stacked, opt_state, losses = ensemble_train(
             base_params, latents, ehs, stacked, opt_state,
-            jax.random.PRNGKey(1 + c), chunk,
+            jax.random.PRNGKey(1 + c), n,
         )
     jax.block_until_ready(stacked)
     train_s = time.time() - t0
@@ -247,12 +253,14 @@ def main():
     # relays).
     train_gflops = sample_gflops = None
     try:
-        c = ensemble_train.lower(
-            base_params, latents, ehs, stacked, opt_state,
-            jax.random.PRNGKey(0), chunk,
-        ).compile().cost_analysis()
-        c = c[0] if isinstance(c, (list, tuple)) else c
-        train_gflops = c.get("flops", 0.0) / 1e9 * n_chunks
+        if chunk:
+            c = ensemble_train.lower(
+                base_params, latents, ehs, stacked, opt_state,
+                jax.random.PRNGKey(0), chunk,
+            ).compile().cost_analysis()
+            c = c[0] if isinstance(c, (list, tuple)) else c
+            # per-step flops from the chunk executable, scaled to the run.
+            train_gflops = c.get("flops", 0.0) / 1e9 * (TRAIN_STEPS / chunk)
     except Exception:
         pass
     try:
@@ -281,14 +289,16 @@ def main():
         "opt": OPT,
         "remat": REMAT,
         "scan_chunk": chunk,
-        "train_model_tflops_per_s": round(train_model_tflop / train_s, 1),
+        "train_model_tflops_per_s": (
+            round(train_model_tflop / train_s, 1) if train_s else None),
         "sample_model_tflops_per_s": round(sample_model_tflop / sample_s, 1),
         "n_sample_images": N_SAMPLE_IMAGES,
         "sample_steps": SAMPLE_STEPS,
         "train_s": round(train_s, 1),
         "sample_s": round(sample_s, 1),
         "unet_params_m": round(n_params / 1e6),
-        "final_loss": round(float(np.asarray(losses)[-1].mean()), 4),
+        "final_loss": (round(float(np.asarray(losses)[-1].mean()), 4)
+                       if losses is not None else None),
     }
     if train_gflops:
         detail["train_tflops_per_s"] = round(train_gflops / 1e3 / train_s, 1)

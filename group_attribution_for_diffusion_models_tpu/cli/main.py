@@ -72,6 +72,11 @@ def parse_args(argv=None):
                         help="converted CLIP text params (.npz from "
                              "cli.convert_weights clip_text, or a torch "
                              "state-dict file) for conditional datasets")
+    parser.add_argument("--tokenizer_dir", type=str, default=None,
+                        help="dir with CLIP vocab.json + merges.txt for the "
+                             "real BPE tokenizer (required with "
+                             "--text_encoder_weights: hash-tokenized ids "
+                             "would index real embeddings arbitrarily)")
     parser.add_argument("--random_text_encoder", action="store_true",
                         default=False,
                         help="explicitly allow a randomly initialized text "
@@ -218,14 +223,14 @@ def main(argv=None):
                     jax.random.PRNGKey(0), jnp.zeros((1, 77), jnp.int32)
                 )
             )["params"]
-            want = {
-                "/".join(map(str, p)): tuple(l.shape)
-                for p, l in jax.tree_util.tree_flatten_with_path(probe)[0]
-            }
-            got = {
-                "/".join(k.key for k in p): tuple(np.shape(l))
-                for p, l in jax.tree_util.tree_flatten_with_path(text_params)[0]
-            }
+            def _flat_shapes(tree):
+                return {
+                    "/".join(k.key for k in p): tuple(l.shape)
+                    for p, l in jax.tree_util.tree_flatten_with_path(tree)[0]
+                }
+
+            want = _flat_shapes(probe)
+            got = _flat_shapes(text_params)
             if want.keys() != got.keys() or any(
                 want[k] != got[k] for k in want
             ):
@@ -251,7 +256,13 @@ def main(argv=None):
                 "(see cli.convert_weights clip_text), or opt in to a random "
                 "encoder with --random_text_encoder"
             )
-        tokenize = load_tokenizer()
+        if args.text_encoder_weights and not args.tokenizer_dir:
+            raise SystemExit(
+                "--text_encoder_weights needs --tokenizer_dir "
+                "(vocab.json + merges.txt): hash-tokenized prompts would "
+                "index the real embedding table with arbitrary ids"
+            )
+        tokenize = load_tokenizer(args.tokenizer_dir)
         n_cls = max(int(dataset.labels.max()) + 1, 1)
         prompts = captioner(
             [i % captioner.num_classes for i in range(n_cls)]
@@ -266,31 +277,40 @@ def main(argv=None):
     sample_freq = args.sample_freq or cfg.train.sample_freq.get(method_base, 0)
     sampling_time = 0.0
 
+    # The grid sampler is built (and its decode_fn loaded) once and jitted,
+    # so each sampling event reuses one compiled executable instead of
+    # re-reading VQ weights and re-tracing the 100-step scan.
+    _grid_sampler = None
+
     def save_sample_grid(state, step):
         from PIL import Image
 
         from ..diffusion.sampling import sample_loop
         from .common import vq_decode_fn_for
 
+        nonlocal _grid_sampler
         n_s = args.n_inference_samples or min(cfg.train.n_samples or 16, 16)
-        shape = (n_s, spec.sample_size, spec.sample_size, spec.in_channels)
-        ehs_s = (
-            class_emb[np.arange(n_s) % class_emb.shape[0]]
-            if class_emb is not None
-            else None
-        )
-        decode = (
-            vq_decode_fn_for(cfg, args.vqvae_weights)
-            if cfg.vqvae is not None
-            else None
-        )
-        imgs = np.asarray(
-            sample_loop(
-                model.apply, state.ema_params, schedule, cfg.scheduler, shape,
-                jax.random.PRNGKey(1_000_000 + step),
-                num_inference_steps=100, kind="ddim",
-                encoder_hidden_states=ehs_s, decode_fn=decode,
+        if _grid_sampler is None:
+            shape = (n_s, spec.sample_size, spec.sample_size, spec.in_channels)
+            ehs_s = (
+                class_emb[np.arange(n_s) % class_emb.shape[0]]
+                if class_emb is not None
+                else None
             )
+            decode = (
+                vq_decode_fn_for(cfg, args.vqvae_weights)
+                if cfg.vqvae is not None
+                else None
+            )
+            _grid_sampler = jax.jit(
+                lambda params, key: sample_loop(
+                    model.apply, params, schedule, cfg.scheduler, shape, key,
+                    num_inference_steps=100, kind="ddim",
+                    encoder_hidden_states=ehs_s, decode_fn=decode,
+                )
+            )
+        imgs = np.asarray(
+            _grid_sampler(state.ema_params, jax.random.PRNGKey(1_000_000 + step))
         )
         cols = min(n_s, 4)
         rows = -(-n_s // cols)
@@ -344,7 +364,8 @@ def main(argv=None):
             if (step_i + 1) % ckpt_freq == 0 or step_i + 1 == training_steps:
                 save_checkpoint(
                     model_dir, step_i + 1, state, remaining_idx, removed_idx,
-                    total_steps_time + (time.time() - t_start), unet_spec=spec,
+                    total_steps_time + (time.time() - t_start) - sampling_time,
+                    unet_spec=spec,
                 )
     total_steps_time += time.time() - t_start - sampling_time
     tracker.finish()

@@ -51,7 +51,7 @@ def row_value(rec: dict, key: str):
     """Row column, else reference-style ``key=value`` exp_name segment."""
     if rec.get(key) is not None:
         return rec[key]
-    for seg in str(rec.get("exp_name") or "").replace("=", "=").split("/"):
+    for seg in str(rec.get("exp_name") or "").split("/"):
         if seg.startswith(key + "="):
             val = seg.split("=", 1)[1]
             try:

@@ -135,12 +135,11 @@ def load_tokenizer(vocab_dir: Optional[str] = None, max_length: int = 77):
     parity-tested against transformers.CLIPTokenizer) — no transformers
     dependency at runtime."""
     if vocab_dir is not None:
-        try:
-            from .clip_tokenizer import CLIPBPETokenizer
+        # An explicitly requested vocab must load — silently falling back to
+        # the hash tokenizer would feed arbitrary ids to real embeddings.
+        from .clip_tokenizer import CLIPBPETokenizer
 
-            return CLIPBPETokenizer.from_dir(vocab_dir, max_length=max_length)
-        except (OSError, ValueError, KeyError):
-            pass
+        return CLIPBPETokenizer.from_dir(vocab_dir, max_length=max_length)
     return HashTokenizer(max_length=max_length)
 
 

@@ -37,6 +37,16 @@ from ..training.train import make_train_step
 from .mesh import ensemble_sharding
 
 
+def _step_seed(seed: int, step: int) -> int:
+    """Per-step PRNG seed, reduced mod 2**32.
+
+    PRNGKey truncates Python-int seeds to 32 bits anyway (x64 disabled), so
+    the explicit mod changes no key sequence — but it keeps the value inside
+    int32/uint32 range so run_scanned's device-side seed array can't overflow
+    for large user seeds (seed >= 2148 used to raise at trace time)."""
+    return (seed * 1_000_003 + step) % (1 << 32)
+
+
 def pad_member_indices(
     member_indices: Sequence[np.ndarray], pad_multiple: int = 128
 ) -> Tuple[np.ndarray, np.ndarray]:
@@ -211,7 +221,9 @@ class EnsembleTrainer:
         forces is the only one in the loop."""
         metrics = None
         for i in range(num_steps):
-            stacked, metrics = self.step(stacked, jax.random.PRNGKey(seed * 1_000_003 + i))
+            stacked, metrics = self.step(
+                stacked, jax.random.PRNGKey(_step_seed(seed, i))
+            )
             if log_fn is not None and log_every and (i + 1) % log_every == 0:
                 log_fn(metrics, i + 1)
         return stacked, metrics
@@ -252,7 +264,10 @@ class EnsembleTrainer:
         all_metrics = []
         for start in range(0, num_steps, chunk):
             n = min(chunk, num_steps - start)
-            seeds = seed * 1_000_003 + jnp.arange(start, start + n)
+            seeds = jnp.asarray(
+                [_step_seed(seed, i) for i in range(start, start + n)],
+                jnp.uint32,
+            )
             stacked, metrics = self._scan_jit(
                 stacked, make_keys(seeds), self._images, self._table, self._sizes
             )

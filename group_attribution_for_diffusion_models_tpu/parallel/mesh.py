@@ -55,6 +55,15 @@ def make_mesh(
         )
         mesh_shape = tuple(shrunk)
         want = int(np.prod(mesh_shape))
+    elif want < len(devices):
+        # Under-requesting is allowed (e.g. a sub-mesh for a small ensemble)
+        # but never silent: a stale mesh flag on a bigger pod would otherwise
+        # quietly run at a fraction of the machine.
+        warnings.warn(
+            f"make_mesh: shape {mesh_shape} uses {want} of "
+            f"{len(devices)} visible devices",
+            stacklevel=2,
+        )
     dev_array = np.asarray(devices[:want]).reshape(mesh_shape)
     return Mesh(dev_array, axis_names)
 

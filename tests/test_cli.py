@@ -248,3 +248,39 @@ def test_conditional_requires_text_encoder_weights(tmp_path):
         str(tmp_path), cond, "retrain", "models", "full"
     )
     assert any(n.startswith("ckpt_steps_") for n in os.listdir(model_dir))
+
+    # Correct-shaped weights: accepted, but only WITH a real tokenizer vocab
+    # (hash-tokenized ids would index the real embedding table arbitrarily).
+    import jax
+    import jax.numpy as jnp
+
+    from group_attribution_for_diffusion_models_tpu.models.clip_text import (
+        CLIPTextEncoder,
+    )
+
+    spec = config_for(cond).unet
+    w = spec.cross_attention_dim
+    text = CLIPTextEncoder(width=w, layers=12 if w >= 768 else 2,
+                           heads=12 if w % 12 == 0 else max(w // 16, 1))
+    params = text.init(jax.random.PRNGKey(0), jnp.zeros((1, 77), jnp.int32))
+    flat = {}
+
+    def _rec(node, pre):
+        for k, v in node.items():
+            if isinstance(v, dict):
+                _rec(v, pre + [k])
+            else:
+                flat["/".join(pre + [k])] = np.asarray(v)
+
+    _rec(params["params"], [])
+    good = tmp_path / "good_text.npz"
+    np.savez(good, **flat)
+    with _pytest.raises(SystemExit, match="tokenizer_dir"):
+        train_main.main(argv + ["--text_encoder_weights", str(good)])
+
+    from test_clip_tokenizer import _write_tiny_vocab
+
+    vocab_dir = tmp_path / "vocab"
+    _write_tiny_vocab(vocab_dir)
+    train_main.main(argv + ["--text_encoder_weights", str(good),
+                            "--tokenizer_dir", str(vocab_dir)])

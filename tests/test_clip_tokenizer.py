@@ -10,6 +10,7 @@ splitting, accents (NFC), truncation, and padding.
 """
 
 import json
+import os
 
 import numpy as np
 import pytest
@@ -51,9 +52,9 @@ PROMPTS = [
 ]
 
 
-@pytest.fixture(scope="module")
-def vocab_dir(tmp_path_factory):
-    d = tmp_path_factory.mktemp("clip_vocab")
+def _write_tiny_vocab(d):
+    """Byte-level base vocab + the MERGES table, CLIP file layout."""
+    os.makedirs(d, exist_ok=True)
     symbols = list(bytes_to_unicode().values())
     vocab = {}
     for s in symbols:
@@ -69,6 +70,11 @@ def vocab_dir(tmp_path_factory):
         "#version: 0.2\n" + "\n".join(f"{a} {b}" for a, b in MERGES) + "\n"
     )
     return d
+
+
+@pytest.fixture(scope="module")
+def vocab_dir(tmp_path_factory):
+    return _write_tiny_vocab(tmp_path_factory.mktemp("clip_vocab"))
 
 
 def test_bpe_merges_apply(vocab_dir):
@@ -108,5 +114,9 @@ def test_load_tokenizer_prefers_native_bpe(vocab_dir):
     ids = tok(["the cat"])
     assert ids.shape == (1, 16)
     assert ids[0, 0] == tok.bos_id
-    # Missing dir falls back to the hash tokenizer.
-    assert isinstance(load_tokenizer(str(vocab_dir / "nope")), HashTokenizer)
+    # An explicitly requested vocab dir that can't load must raise — a
+    # silent hash fallback would index real embeddings with arbitrary ids.
+    with pytest.raises(OSError):
+        load_tokenizer(str(vocab_dir / "nope"))
+    # Only the no-argument path falls back to the hash tokenizer.
+    assert isinstance(load_tokenizer(), HashTokenizer)

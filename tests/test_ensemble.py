@@ -156,6 +156,33 @@ def test_run_scanned_matches_run():
     )
 
 
+def test_run_scanned_large_seed_matches_run():
+    """seed * 1_000_003 overflows int32 for seed >= 2148; the per-step seed
+    math must wrap mod 2**32 (like PRNGKey itself does) instead of raising
+    at trace time, and still match run()'s key sequence."""
+    trainer, params = _trainer(num_members=2)
+    s1 = trainer.init_state(params=params)
+    s2 = trainer.init_state(params=params)
+    losses1 = []
+    s1, _ = trainer.run(
+        s1, 3, seed=3000, log_every=1,
+        log_fn=lambda m, i: losses1.append(np.asarray(m["loss"])),
+    )
+    s2, m2 = trainer.run_scanned(s2, 3, seed=3000)
+    np.testing.assert_allclose(
+        np.stack(losses1), np.asarray(m2["loss"]), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_make_mesh_warns_on_underuse():
+    """A sub-mesh is allowed but not silent (stale mesh flags on a bigger
+    machine would quietly waste chips)."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >1 device")
+    with pytest.warns(UserWarning, match="uses 1 of"):
+        make_mesh((1, 1))
+
+
 def test_run_scanned_sharded():
     mesh = make_mesh((8, 1))
     trainer, params = _trainer(num_members=8, mesh=mesh)
