@@ -181,6 +181,95 @@ def vq_decode_fn_for(cfg, vqvae_weights: Optional[str] = None, quiet: bool = Fal
     return make_vq_decode_fn(cfg.vqvae, vqvae_weights, quiet=quiet)
 
 
+def add_sd_pretrained_args(parser: argparse.ArgumentParser) -> None:
+    """Pretrained-weight entry points for the text-to-image CLIs.
+
+    The reference's SD path always starts from the pretrained miniSD tower
+    (`--pretrained_model_name_or_path`, train_text_to_image_lora.py:719-744);
+    here the converted equivalents are opt-in flags so the same CLIs cover
+    both zero-egress smoke runs (random towers) and real checkpoints."""
+    parser.add_argument("--unet_ckpt", type=str, default=None,
+                        help="framework checkpoint dir with the pretrained "
+                             "base U-Net (from cli.convert_weights unet)")
+    parser.add_argument("--text_encoder_weights", type=str, default=None,
+                        help="converted CLIP text params (.npz from "
+                             "cli.convert_weights clip_text, or a torch "
+                             "state-dict file)")
+    parser.add_argument("--tokenizer_dir", type=str, default=None,
+                        help="dir with CLIP vocab.json + merges.txt "
+                             "(required with --text_encoder_weights)")
+
+
+def validated_text_params(text, weights_path: str):
+    """Load converted CLIP text params, failing loudly on a tower mismatch."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.clip_text import load_clip_text
+
+    params = load_clip_text(weights_path)
+    probe = jax.eval_shape(
+        lambda: text.init(jax.random.PRNGKey(0), jnp.zeros((1, 77), jnp.int32))
+    )["params"]
+
+    def _flat_shapes(tree):
+        return {
+            "/".join(k.key for k in p): tuple(l.shape)
+            for p, l in jax.tree_util.tree_flatten_with_path(tree)[0]
+        }
+
+    want, got = _flat_shapes(probe), _flat_shapes(params)
+    if want != got:
+        diff = sorted(set(want.items()) ^ set(got.items()))[:8]
+        raise SystemExit(
+            f"--text_encoder_weights does not match the {text.width}-wide "
+            f"text tower; first mismatches: {diff}"
+        )
+    return params
+
+
+def sd_text_params(args, text):
+    """(text_params, tokenize) honoring the pretrained flags.
+
+    Real weights require the real BPE vocab — hash-tokenized ids would index
+    the pretrained embedding table arbitrarily."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.clip_text import load_tokenizer
+
+    if args.text_encoder_weights:
+        if not args.tokenizer_dir:
+            raise SystemExit(
+                "--text_encoder_weights needs --tokenizer_dir "
+                "(vocab.json + merges.txt): hash-tokenized prompts would "
+                "index the real embedding table with arbitrary ids"
+            )
+        params = validated_text_params(text, args.text_encoder_weights)
+        print(f"loaded text encoder weights from {args.text_encoder_weights}")
+    else:
+        params = text.init(
+            jax.random.PRNGKey(1), jnp.zeros((1, 77), jnp.int32)
+        )["params"]
+    return params, load_tokenizer(args.tokenizer_dir)
+
+
+def sd_base_params(args, init_params):
+    """Base U-Net params: the converted pretrained checkpoint when given
+    (reference loads miniSD's UNet2DConditionModel), else the random init."""
+    if not getattr(args, "unet_ckpt", None):
+        return init_params
+    from ..training import TrainState, make_optimizer
+    from ..utils.ckpt import load_checkpoint
+
+    state, _ = load_checkpoint(
+        args.unet_ckpt,
+        TrainState.create(init_params, make_optimizer("adam", lr=1e-4)),
+    )
+    print(f"loaded base U-Net from {args.unet_ckpt}")
+    return state.params
+
+
 def setup_removal(
     args, dataset: ArrayDataset
 ) -> Tuple[np.ndarray, np.ndarray]:

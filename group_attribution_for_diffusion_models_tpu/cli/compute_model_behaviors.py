@@ -28,12 +28,17 @@ from ..config.registry import (
 from ..diffusion import add_noise, make_schedule
 from ..diffusion.sampling import sample_loop
 from ..models import UNet2D
-from ..models.clip_text import CLIPTextEncoder, load_tokenizer
+from ..models.clip_text import CLIPTextEncoder
 from ..models.clip_vision import AestheticHead, load_clip_vision, make_embed_fn
 from ..models.lora import lora_merge
 from ..utils import append_record, has_record
 from ..utils.image_metrics import nrmse, ssim
-from .common import provenance_row
+from .common import (
+    add_sd_pretrained_args,
+    provenance_row,
+    sd_base_params,
+    sd_text_params,
+)
 from .train_text_to_image_lora import _load_lora_npz, tiny_sd_spec
 
 
@@ -60,6 +65,7 @@ def parse_args(argv=None):
     parser.add_argument("--vae_weights", type=str, default=None,
                         help="converted AutoencoderKL params (.npy) for "
                              "decoding SD latents before image metrics")
+    add_sd_pretrained_args(parser)
     return parser.parse_args(argv)
 
 
@@ -88,13 +94,12 @@ def main(argv=None):
         text = CLIPTextEncoder()
     model = UNet2D(spec)
     size, ch = spec.sample_size, spec.in_channels
-    base_params = model.init(
+    base_params = sd_base_params(args, model.init(
         jax.random.PRNGKey(args.seed),
         jnp.zeros((1, size, size, ch)), jnp.zeros((1,), jnp.int32),
         jnp.zeros((1, 77, spec.cross_attention_dim)),
-    )["params"]
-    text_params = text.init(jax.random.PRNGKey(1), jnp.zeros((1, 77), jnp.int32))["params"]
-    tokenize = load_tokenizer()
+    )["params"])
+    text_params, tokenize = sd_text_params(args, text)
     prompt = PROMPTS_ARTBENCH.get(args.cls, f"a painting, {args.cls}")
     ehs = jnp.asarray(
         text.apply({"params": text_params}, jnp.asarray(tokenize([prompt])))

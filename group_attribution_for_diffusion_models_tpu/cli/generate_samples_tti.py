@@ -24,8 +24,9 @@ from ..config.registry import (
 from ..diffusion import make_schedule
 from ..diffusion.sampling import sample_loop
 from ..models import UNet2D
-from ..models.clip_text import CLIPTextEncoder, load_tokenizer
+from ..models.clip_text import CLIPTextEncoder
 from ..models.lora import lora_merge
+from .common import add_sd_pretrained_args, sd_base_params, sd_text_params
 from .train_text_to_image_lora import _load_lora_npz, tiny_sd_spec
 
 
@@ -42,6 +43,7 @@ def parse_args(argv=None):
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--ckpt_freq", type=int, default=1,
                         help="batches between progress-state saves")
+    add_sd_pretrained_args(parser)
     return parser.parse_args(argv)
 
 
@@ -60,15 +62,14 @@ def main(argv=None):
         text = CLIPTextEncoder()
     model = UNet2D(spec)
     size, ch = spec.sample_size, spec.in_channels
-    params = model.init(
+    params = sd_base_params(args, model.init(
         jax.random.PRNGKey(args.seed),
         jnp.zeros((1, size, size, ch)), jnp.zeros((1,), jnp.int32),
         jnp.zeros((1, 77, spec.cross_attention_dim)),
-    )["params"]
+    )["params"])
     if args.lora_dir:
         params = lora_merge(params, _load_lora_npz(args.lora_dir))
-    text_params = text.init(jax.random.PRNGKey(1), jnp.zeros((1, 77), jnp.int32))["params"]
-    tokenize = load_tokenizer()
+    text_params, tokenize = sd_text_params(args, text)
     schedule = make_schedule(sched_spec)
 
     os.makedirs(args.sample_outdir, exist_ok=True)

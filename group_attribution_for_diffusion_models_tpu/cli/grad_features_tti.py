@@ -33,8 +33,9 @@ from ..config.registry import (
 from ..data import create_dataset
 from ..diffusion import make_schedule
 from ..models import UNet2D
-from ..models.clip_text import CLIPTextEncoder, load_tokenizer
+from ..models.clip_text import CLIPTextEncoder
 from ..models.lora import lora_merge
+from .common import add_sd_pretrained_args, sd_base_params, sd_text_params
 from .train_text_to_image_lora import _load_lora_npz, tiny_sd_spec
 
 
@@ -61,6 +62,7 @@ def parse_args(argv=None):
     parser.add_argument("--save_path", type=str, required=True)
     parser.add_argument("--vae_weights", type=str, default=None)
     parser.add_argument("--seed", type=int, default=42)
+    add_sd_pretrained_args(parser)
     return parser.parse_args(argv)
 
 
@@ -96,11 +98,10 @@ def main(argv=None):
     model = UNet2D(spec)
     x0 = jnp.zeros((1, latent_size, latent_size, latent_ch))
     ehs0 = jnp.zeros((1, 77, spec.cross_attention_dim))
-    base_params = model.init(
+    base_params = sd_base_params(args, model.init(
         jax.random.PRNGKey(args.seed), x0, jnp.zeros((1,), jnp.int32), ehs0
-    )["params"]
-    text_params = text.init(jax.random.PRNGKey(1), jnp.zeros((1, 77), jnp.int32))["params"]
-    tokenize = load_tokenizer()
+    )["params"])
+    text_params, tokenize = sd_text_params(args, text)
 
     lora = _load_lora_npz(args.lora_dir)
     schedule = make_schedule(sched_spec)

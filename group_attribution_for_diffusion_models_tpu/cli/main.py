@@ -202,11 +202,7 @@ def main(argv=None):
     # (reference main.py:666-670 captioner/text_encoder path).
     class_emb = None
     if spec.conditional:
-        from ..models.clip_text import (
-            CLIPTextEncoder,
-            load_clip_text,
-            load_tokenizer,
-        )
+        from ..models.clip_text import CLIPTextEncoder, load_tokenizer
         from ..pipelines import ImagenetteCaptioner
 
         captioner = ImagenetteCaptioner()
@@ -217,28 +213,9 @@ def main(argv=None):
             heads=12 if width % 12 == 0 else max(width // 16, 1),
         )
         if args.text_encoder_weights:
-            text_params = load_clip_text(args.text_encoder_weights)
-            probe = jax.eval_shape(
-                lambda: text.init(
-                    jax.random.PRNGKey(0), jnp.zeros((1, 77), jnp.int32)
-                )
-            )["params"]
-            def _flat_shapes(tree):
-                return {
-                    "/".join(k.key for k in p): tuple(l.shape)
-                    for p, l in jax.tree_util.tree_flatten_with_path(tree)[0]
-                }
+            from .common import validated_text_params
 
-            want = _flat_shapes(probe)
-            got = _flat_shapes(text_params)
-            if want.keys() != got.keys() or any(
-                want[k] != got[k] for k in want
-            ):
-                diff = sorted(set(want.items()) ^ set(got.items()))[:8]
-                raise SystemExit(
-                    f"--text_encoder_weights does not match the "
-                    f"{width}-wide text tower; first mismatches: {diff}"
-                )
+            text_params = validated_text_params(text, args.text_encoder_weights)
             print(f"loaded text encoder weights from {args.text_encoder_weights}")
         elif args.random_text_encoder:
             print(

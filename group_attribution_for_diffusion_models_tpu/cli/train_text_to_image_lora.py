@@ -41,11 +41,16 @@ from ..data import create_dataset
 from ..data.groups import group_removal_split
 from ..diffusion import make_schedule
 from ..models import UNet2D
-from ..models.clip_text import CLIPTextEncoder, load_tokenizer
+from ..models.clip_text import CLIPTextEncoder
 from ..models.lora import lora_init, lora_merge, lora_num_params
 from ..training.state import make_optimizer
 from ..utils import append_record
-from .common import provenance_row
+from .common import (
+    add_sd_pretrained_args,
+    provenance_row,
+    sd_base_params,
+    sd_text_params,
+)
 
 
 def tiny_sd_spec(size: int = 8) -> UNetSpec:
@@ -107,6 +112,7 @@ def parse_args(argv=None):
                         help="training-scalar tracker (reference logs via "
                              "accelerate trackers, "
                              "train_text_to_image_lora.py:1146,1322)")
+    add_sd_pretrained_args(parser)
     return parser.parse_args(argv)
 
 
@@ -225,15 +231,14 @@ def main(argv=None):
     x0 = jnp.zeros((1, latent_size, latent_size, latent_ch))
     t0j = jnp.zeros((1,), jnp.int32)
     ehs0 = jnp.zeros((1, 77, spec.cross_attention_dim))
-    base_params = model.init(jax.random.PRNGKey(args.seed), x0, t0j, ehs0)["params"]
+    base_params = sd_base_params(
+        args, model.init(jax.random.PRNGKey(args.seed), x0, t0j, ehs0)["params"]
+    )
 
     text = CLIPTextEncoder(width=spec.cross_attention_dim,
                            layers=2 if synthetic else 12,
                            heads=2 if synthetic else 12)
-    text_params = text.init(
-        jax.random.PRNGKey(1), jnp.zeros((1, 77), jnp.int32)
-    )["params"]
-    tokenize = load_tokenizer()
+    text_params, tokenize = sd_text_params(args, text)
 
     # Per-image caption embedding: style prompt + artist (constant per unit)
     prompt = PROMPTS_ARTBENCH.get(args.cls, f"a painting, {args.cls}")

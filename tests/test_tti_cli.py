@@ -217,3 +217,109 @@ def test_counterfactual_removal_training(tmp_path):
                open(os.path.join(leaf, "removal_idx.csv")).read().split()[1:]]
     # Top 30% of 10-ish units removed -> some but not all images gone.
     assert 0 < len(removed) < len(ds)
+
+
+def test_sd_pretrained_entry_points(tmp_path):
+    """The SD CLIs accept converted pretrained weights: --unet_ckpt replaces
+    the random base U-Net, --text_encoder_weights requires --tokenizer_dir
+    (real embeddings must not be indexed by hash-token ids), and the full
+    trio drives generation end to end (reference always starts from the
+    pretrained miniSD tower, train_text_to_image_lora.py:719-744)."""
+    import argparse
+
+    import jax
+    import jax.numpy as jnp
+    import pytest as _pytest
+
+    from group_attribution_for_diffusion_models_tpu.cli import (
+        generate_samples_tti,
+    )
+    from group_attribution_for_diffusion_models_tpu.cli.common import (
+        sd_base_params,
+        sd_text_params,
+    )
+    from group_attribution_for_diffusion_models_tpu.cli.train_text_to_image_lora import (
+        tiny_sd_spec,
+    )
+    from group_attribution_for_diffusion_models_tpu.models import UNet2D
+    from group_attribution_for_diffusion_models_tpu.models.clip_text import (
+        CLIPTextEncoder,
+    )
+    from group_attribution_for_diffusion_models_tpu.training import (
+        TrainState,
+        make_optimizer,
+    )
+    from group_attribution_for_diffusion_models_tpu.utils.ckpt import (
+        save_checkpoint,
+    )
+    from test_clip_tokenizer import _write_tiny_vocab
+
+    spec = tiny_sd_spec(8)
+    model = UNet2D(spec)
+    x0 = jnp.zeros((1, 8, 8, 4))
+    t0 = jnp.zeros((1,), jnp.int32)
+    ehs0 = jnp.zeros((1, 77, spec.cross_attention_dim))
+    p_init = model.init(jax.random.PRNGKey(0), x0, t0, ehs0)["params"]
+    p_ckpt = model.init(jax.random.PRNGKey(7), x0, t0, ehs0)["params"]
+
+    ckpt_dir = str(tmp_path / "base_unet")
+    save_checkpoint(
+        ckpt_dir, 0,
+        TrainState.create(p_ckpt, make_optimizer("adam", lr=1e-4)),
+    )
+
+    # sd_base_params swaps in the checkpointed tower, not the random init.
+    ns = argparse.Namespace(unet_ckpt=ckpt_dir)
+    loaded = sd_base_params(ns, p_init)
+    l_ckpt = jax.tree_util.tree_leaves(p_ckpt)
+    l_loaded = jax.tree_util.tree_leaves(loaded)
+    assert all(np.allclose(a, b) for a, b in zip(l_ckpt, l_loaded))
+    assert not all(
+        np.allclose(a, b)
+        for a, b in zip(jax.tree_util.tree_leaves(p_init), l_loaded)
+    )
+
+    # Text weights without a real vocab are refused.
+    text = CLIPTextEncoder(width=spec.cross_attention_dim, layers=2, heads=2)
+    t_params = text.init(jax.random.PRNGKey(3), jnp.zeros((1, 77), jnp.int32))
+    flat = {}
+
+    def _rec(node, pre):
+        for k, v in node.items():
+            if isinstance(v, dict):
+                _rec(v, pre + [k])
+            else:
+                flat["/".join(pre + [k])] = np.asarray(v)
+
+    _rec(t_params["params"], [])
+    weights = tmp_path / "text.npz"
+    np.savez(weights, **flat)
+    ns_bad = argparse.Namespace(
+        text_encoder_weights=str(weights), tokenizer_dir=None
+    )
+    with _pytest.raises(SystemExit, match="tokenizer_dir"):
+        sd_text_params(ns_bad, text)
+
+    vocab_dir = _write_tiny_vocab(tmp_path / "vocab")
+    ns_good = argparse.Namespace(
+        text_encoder_weights=str(weights), tokenizer_dir=str(vocab_dir)
+    )
+    loaded_t, tokenize = sd_text_params(ns_good, text)
+    got = jax.tree_util.tree_leaves(loaded_t)
+    want = jax.tree_util.tree_leaves(t_params["params"])
+    assert all(np.allclose(a, b) for a, b in zip(want, got))
+    ids = np.asarray(tokenize(["a painting"]))
+    assert ids.shape == (1, 77) and ids[0, 0] != ids[0, 1]
+
+    # End-to-end: generation honors all three flags together.
+    outdir = str(tmp_path / "samples")
+    generate_samples_tti.main([
+        "--dataset", "synthetic_64x8", "--sample_outdir", outdir,
+        "--n_samples_per_style", "2", "--batch_size", "2",
+        "--num_inference_steps", "2", "--unet_ckpt", ckpt_dir,
+        "--text_encoder_weights", str(weights),
+        "--tokenizer_dir", str(vocab_dir),
+    ])
+    style_dir = os.path.join(outdir, "post_impressionism")
+    pngs = [n for n in os.listdir(style_dir) if n.endswith(".png")]
+    assert len(pngs) == 2
