@@ -55,24 +55,39 @@ def config_for(dataset: str):
     )
     unet_size = size // 4 if ldm else size
     budgets = {m: 10 for m in ("retrain", "prune_fine_tune", "ga", "gd", "esd")}
+    # "..._big": a ~1M-param U-Net with self-attention. The tiny default
+    # (8,16) net cannot memorize per-class structure (10 templates of
+    # 32x32x3 = 30k values > its whole parameter count), which caps any
+    # attribution-quality demo regardless of estimator; measured on
+    # synthetic_*_tpl: removed-class probe loss 5x kept-class with this
+    # arch vs no gap with the tiny one.
+    big = "big" in parts
     return WorkloadConfig(
         dataset=dataset,
         image_size=size,
         unet=UNetSpec(
             sample_size=unet_size,
-            block_out_channels=(8, 16),
+            block_out_channels=(32, 64) if big else (8, 16),
             down_block_types=(
                 ("CrossAttnDownBlock2D", "DownBlock2D")
                 if cond
-                else ("DownBlock2D", "DownBlock2D")
+                else (
+                    ("DownBlock2D", "AttnDownBlock2D")
+                    if big
+                    else ("DownBlock2D", "DownBlock2D")
+                )
             ),
             up_block_types=(
                 ("UpBlock2D", "CrossAttnUpBlock2D")
                 if cond
-                else ("UpBlock2D", "UpBlock2D")
+                else (
+                    ("AttnUpBlock2D", "UpBlock2D")
+                    if big
+                    else ("UpBlock2D", "UpBlock2D")
+                )
             ),
-            layers_per_block=1,
-            norm_num_groups=4,
+            layers_per_block=2 if big else 1,
+            norm_num_groups=8 if big else 4,
             attention_head_dim=2 if cond else None,
             cross_attention_dim=32 if cond else None,
         ),

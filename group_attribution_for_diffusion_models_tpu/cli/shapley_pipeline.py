@@ -45,6 +45,10 @@ def parse_args(argv=None):
     parser.add_argument("--inception_weights", type=str, default=None)
     parser.add_argument("--chunk_size", type=int, default=32,
                         help="members per ensemble invocation")
+    parser.add_argument("--eval_t_min", type=int, default=0)
+    parser.add_argument("--eval_t_max", type=int, default=None,
+                        help="probe-timestep band for --behavior eval_loss "
+                             "(see train_ensemble --eval_t_max)")
     return parser.parse_args(argv)
 
 
@@ -62,7 +66,9 @@ def _train_chunked(args, dist, seed_start, num, db):
             "--num_inference_steps", str(args.num_inference_steps),
         ]
         if args.behavior == "eval_loss":
-            argv += ["--eval_loss"]
+            argv += ["--eval_loss", "--eval_t_min", str(args.eval_t_min)]
+            if args.eval_t_max:
+                argv += ["--eval_t_max", str(args.eval_t_max)]
         if args.training_steps:
             argv += ["--training_steps", str(args.training_steps)]
         if args.batch_size:
@@ -107,7 +113,9 @@ def main(argv=None):
             "--num_inference_steps", str(args.num_inference_steps),
         ]
         if args.behavior == "eval_loss":
-            argv += ["--eval_loss"]
+            argv += ["--eval_loss", "--eval_t_min", str(args.eval_t_min)]
+            if args.eval_t_max:
+                argv += ["--eval_t_max", str(args.eval_t_max)]
         if args.batch_size:
             argv += ["--batch_size", str(args.batch_size)]
         if args.vqvae_weights:

@@ -61,6 +61,14 @@ def parse_args(argv=None):
                              "fixed noise/timesteps shared across members "
                              "(a cheap low-variance global behavior)")
     parser.add_argument("--eval_probe_size", type=int, default=256)
+    parser.add_argument("--eval_t_min", type=int, default=0)
+    parser.add_argument("--eval_t_max", type=int, default=None,
+                        help="probe-timestep band [min, max). The mid band "
+                             "(e.g. 100-600) is where denoising needs data "
+                             "knowledge — very low t makes x0 visible in "
+                             "x_t, very high t is pure-noise prediction — "
+                             "so banding sharpens the behavior's "
+                             "subset-composition signal")
     parser.add_argument("--mesh_ensemble", type=int, default=None,
                         help="ensemble-axis size (default: all devices)")
     parser.add_argument("--mesh_data", type=int, default=1)
@@ -79,8 +87,12 @@ def main(argv=None):
 
     args = parse_args(argv)
     cfg = config_for(args.dataset)
-    training_steps = args.training_steps or cfg.train.training_steps.get(
-        args.method, 1000
+    # NOT `or`: --training_steps 0 means the untrained null model (the
+    # pipeline's y_v0 anchor), not "use the config budget".
+    training_steps = (
+        args.training_steps
+        if args.training_steps is not None
+        else cfg.train.training_steps.get(args.method, 1000)
     )
     batch_size = args.batch_size or cfg.train.batch_size
 
@@ -248,7 +260,8 @@ def main(argv=None):
         key_e = jax.random.PRNGKey(12345)
         k_t, k_n = jax.random.split(key_e)
         t_fixed = jax.random.randint(
-            k_t, (probe_n,), 0, cfg.scheduler.num_train_timesteps
+            k_t, (probe_n,), args.eval_t_min,
+            args.eval_t_max or cfg.scheduler.num_train_timesteps,
         )
         noise_fixed = jax.random.normal(k_n, probe.shape)
 

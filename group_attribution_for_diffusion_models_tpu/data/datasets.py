@@ -239,6 +239,7 @@ def make_synthetic(
     seed: int = 0,
     heterogeneous: bool = False,
     textured: bool = False,
+    templated: bool = False,
 ) -> ArrayDataset:
     """Deterministic random dataset for tests and benchmarks.
 
@@ -252,6 +253,17 @@ def make_synthetic(
     layers of a VAE encoder, so latent-space attribution demos keep their
     signal where pure amplitude scaling gets normalized away
     ("synthetic_<n>x<s>_tex", combinable with _ldm).
+
+    `templated` concentrates class k on a FIXED random template image
+    (image = 0.85*template_k + 0.15*noise). Unlike amplitude (`_mix`) or
+    smoothness (`_tex`) classes, templates do NOT interpolate: a model
+    trained without class k cannot denoise class-k probes, so removal of a
+    class measurably moves any probe-loss behavior. This is the synthetic
+    analog of the reference's real class structure (CIFAR class exclusion
+    removes modes, src/datasets.py:525) and the right surface for
+    attribution QUALITY demos — on `_mix`, class masks explain only ~25% of
+    the behavior variance (measured), bounding LDS regardless of estimator
+    ("synthetic_<n>x<s>_tpl").
     """
     rng = np.random.RandomState(seed)
     images = rng.uniform(-1.0, 1.0, size=(n, size, size, channels)).astype(np.float32)
@@ -259,6 +271,12 @@ def make_synthetic(
     if heterogeneous:
         amp = ((labels + 1) / num_classes).astype(np.float32)
         images = images * amp[:, None, None, None]
+    if templated:
+        t_rng = np.random.RandomState(seed + 1)
+        templates = t_rng.uniform(
+            -1.0, 1.0, size=(num_classes, size, size, channels)
+        ).astype(np.float32)
+        images = templates[labels] * 0.85 + images * 0.15
     if textured:
         # Separable box smoothing; renormalized to unit std so amplitude
         # stays class-independent (the signal is spectral, not scale).
@@ -301,7 +319,8 @@ def create_dataset(
         if len(parts) > 1 and "x" in parts[1]:
             n, size = (int(v) for v in parts[1].split("x"))
         return make_synthetic(n=n, size=size, heterogeneous="mix" in parts,
-                              textured="tex" in parts)
+                              textured="tex" in parts,
+                              templated="tpl" in parts)
 
     if dataset_name == "cifar":
         x, y = _load_cifar10_raw(root, train)

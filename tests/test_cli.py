@@ -284,3 +284,23 @@ def test_conditional_requires_text_encoder_weights(tmp_path):
     _write_tiny_vocab(vocab_dir)
     train_main.main(argv + ["--text_encoder_weights", str(good),
                             "--tokenizer_dir", str(vocab_dir)])
+
+def test_train_ensemble_zero_steps_is_null_model(tmp_path):
+    """--training_steps 0 records the UNTRAINED null model (the pipeline's
+    y_v0 anchor) — it must not silently fall back to the config budget,
+    and the recorded eval band must follow --eval_t_min/--eval_t_max."""
+    from group_attribution_for_diffusion_models_tpu.cli import train_ensemble
+    from group_attribution_for_diffusion_models_tpu.utils import read_records
+
+    db = str(tmp_path / "db.jsonl")
+    train_ensemble.main([
+        "--dataset", "synthetic_64x8", "--removal_dist", "full",
+        "--num_seeds", "1", "--training_steps", "0", "--outdir",
+        str(tmp_path), "--db", db, "--eval_loss",
+        "--eval_t_min", "100", "--eval_t_max", "600",
+    ])
+    rows = list(read_records(db))
+    assert len(rows) == 1 and rows[0]["training_steps"] == 0
+    # An untrained eps-model on mid-band noise sits near the unit-variance
+    # loss floor; a config-budget (10-step) run would already move it.
+    assert rows[0]["eval_loss"] is not None

@@ -152,3 +152,24 @@ def test_textured_synthetic_classes_differ_spectrally():
     s0 = ds.images[ds.labels == 0].std()
     s3 = ds.images[ds.labels == 3].std()
     assert abs(s0 - s3) / s0 < 0.25
+
+
+def test_templated_synthetic_classes_do_not_interpolate():
+    """The _tpl variant concentrates class k on a fixed template: high
+    within-class correlation, zero cross-class correlation — the
+    non-interpolable class structure attribution-quality demos need
+    (a model trained without class k cannot denoise class-k probes)."""
+    from group_attribution_for_diffusion_models_tpu.data import create_dataset
+
+    ds = create_dataset("synthetic_512x16_tpl")
+    f = ds.images.reshape(len(ds), -1)
+    for k in range(3):
+        a, b = f[ds.labels == k][:2]
+        assert np.corrcoef(a, b)[0, 1] > 0.9
+    a = f[ds.labels == 0][0]
+    b = f[ds.labels == 1][0]
+    assert abs(np.corrcoef(a, b)[0, 1]) < 0.2
+    # Deterministic and in-range like the other synthetics.
+    ds2 = create_dataset("synthetic_512x16_tpl")
+    assert np.array_equal(ds.images, ds2.images)
+    assert ds.images.min() >= -1.0 and ds.images.max() <= 1.0
