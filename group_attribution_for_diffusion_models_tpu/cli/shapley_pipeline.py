@@ -49,6 +49,9 @@ def parse_args(argv=None):
     parser.add_argument("--eval_t_max", type=int, default=None,
                         help="probe-timestep band for --behavior eval_loss "
                              "(see train_ensemble --eval_t_max)")
+    parser.add_argument("--log_freq", type=int, default=0,
+                        help="scan-chunk size in steps (keeps each device "
+                             "dispatch short; 0 = whole run in one dispatch)")
     return parser.parse_args(argv)
 
 
@@ -64,6 +67,7 @@ def _train_chunked(args, dist, seed_start, num, db):
             "--n_samples",
             str(args.n_samples if args.behavior in ("fid_value", "is") else 0),
             "--num_inference_steps", str(args.num_inference_steps),
+            "--log_freq", str(args.log_freq),
         ]
         if args.behavior == "eval_loss":
             argv += ["--eval_loss", "--eval_t_min", str(args.eval_t_min)]
@@ -111,6 +115,7 @@ def main(argv=None):
             "--n_samples",
             str(args.n_samples if args.behavior in ("fid_value", "is") else 0),
             "--num_inference_steps", str(args.num_inference_steps),
+            "--log_freq", str(args.log_freq),
         ]
         if args.behavior == "eval_loss":
             argv += ["--eval_loss", "--eval_t_min", str(args.eval_t_min)]
