@@ -30,7 +30,9 @@ from ..models import UNet2D
 from ..parallel import EnsembleTrainer, make_mesh, unstack_state
 from ..training import TrainState, make_optimizer
 from ..utils import append_record
-from ..utils.ckpt import load_checkpoint, load_unet_spec, save_checkpoint
+from ..utils.ckpt import (
+    load_checkpoint, load_meta, load_unet_spec, save_checkpoint,
+)
 from .common import (
     add_common_args,
     config_for,
@@ -132,6 +134,13 @@ def main(argv=None):
 
     spec = cfg.unet
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    if args.load:
+        # Resolve the stored (possibly pruned) architecture BEFORE building
+        # the trainer: EnsembleTrainer compiles its step around apply_fn at
+        # construction, so the spec swap must happen first.
+        loaded_spec = load_unet_spec(load_meta(args.load))
+        if loaded_spec is not None:
+            spec = loaded_spec
     model = UNet2D(spec, dtype=dtype, remat=args.remat)
     x0 = jnp.zeros((1, spec.sample_size, spec.sample_size, spec.in_channels))
     t0j = jnp.zeros((1,), jnp.int32)
@@ -194,14 +203,9 @@ def main(argv=None):
 
     if args.load:
         probe = model.init(jax.random.PRNGKey(0), x0, t0j)["params"]
-        loaded, meta = load_checkpoint(
+        loaded, _ = load_checkpoint(
             args.load, TrainState.create(probe, tx)
         )
-        loaded_spec = load_unet_spec(meta)
-        if loaded_spec is not None and loaded_spec != spec:
-            spec = loaded_spec
-            model = UNet2D(spec, dtype=dtype, remat=args.remat)
-            trainer.apply_fn = model.apply
         state = trainer.init_state(params=loaded.params)
         print(f"all members start from {args.load}")
     else:

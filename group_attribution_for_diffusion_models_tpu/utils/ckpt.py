@@ -126,6 +126,21 @@ def load_checkpoint(
     return state, meta
 
 
+def load_meta(model_dir: str, step: Optional[int] = None) -> Dict[str, Any]:
+    """Read just a checkpoint's meta.json (no state restore).
+
+    Lets callers discover the stored UNetSpec *before* building the model /
+    probe params — required when the checkpoint holds a pruned architecture
+    whose shapes differ from the dataset's default config.
+    """
+    if step is None:
+        step = get_max_steps(model_dir)
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints under {model_dir}")
+    with open(os.path.join(ckpt_dir_for_step(model_dir, step), "meta.json")) as f:
+        return json.load(f)
+
+
 def load_unet_spec(meta: Dict[str, Any]) -> Optional[UNetSpec]:
     """Rebuild the UNetSpec stored in checkpoint metadata."""
     if "unet_spec" not in meta:

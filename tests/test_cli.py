@@ -304,3 +304,49 @@ def test_train_ensemble_zero_steps_is_null_model(tmp_path):
     # An untrained eps-model on mid-band noise sits near the unit-variance
     # loss floor; a config-budget (10-step) run would already move it.
     assert rows[0]["eval_loss"] is not None
+
+def test_train_ensemble_loads_pruned_spec(tmp_path):
+    """--load with a PRUNED checkpoint must rebuild the U-Net from the spec
+    stored in meta.json BEFORE the ensemble step compiles (the sFT path:
+    reference unconditional_generation/main.py loads the pruned model for
+    prune_fine_tune). Regression: the spec swap used to happen after
+    EnsembleTrainer had already baked apply_fn into its compiled step."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from group_attribution_for_diffusion_models_tpu.cli import train_ensemble
+    from group_attribution_for_diffusion_models_tpu.cli.common import config_for
+    from group_attribution_for_diffusion_models_tpu.models.unet2d import UNet2D
+    from group_attribution_for_diffusion_models_tpu.training import (
+        TrainState, make_optimizer,
+    )
+    from group_attribution_for_diffusion_models_tpu.utils import read_records
+    from group_attribution_for_diffusion_models_tpu.utils.ckpt import save_checkpoint
+
+    cfg = config_for("synthetic_64x8")
+    pruned = dataclasses.replace(
+        cfg.unet,
+        block_out_channels=tuple(c // 2 for c in cfg.unet.block_out_channels),
+    )
+    model = UNet2D(pruned)
+    x0 = jnp.zeros((1, pruned.sample_size, pruned.sample_size,
+                    pruned.in_channels))
+    params = model.init(jax.random.PRNGKey(0), x0,
+                        jnp.zeros((1,), jnp.int32))["params"]
+    ckpt_dir = str(tmp_path / "pruned_model")
+    save_checkpoint(ckpt_dir, 0,
+                    TrainState.create(params, make_optimizer("adam", lr=1e-3)),
+                    unet_spec=pruned)
+
+    db = str(tmp_path / "db.jsonl")
+    train_ensemble.main([
+        "--dataset", "synthetic_64x8", "--num_seeds", "2",
+        "--training_steps", "2", "--batch_size", "8",
+        "--load", ckpt_dir, "--outdir", str(tmp_path), "--db", db,
+        "--method", "prune_fine_tune",
+    ])
+    rows = list(read_records(db))
+    assert len(rows) == 2
+    assert all(r["method"] == "prune_fine_tune" for r in rows)
