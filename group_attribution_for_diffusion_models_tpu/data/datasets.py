@@ -268,9 +268,6 @@ def make_synthetic(
     rng = np.random.RandomState(seed)
     images = rng.uniform(-1.0, 1.0, size=(n, size, size, channels)).astype(np.float32)
     labels = rng.randint(0, num_classes, size=n).astype(np.int64)
-    if heterogeneous:
-        amp = ((labels + 1) / num_classes).astype(np.float32)
-        images = images * amp[:, None, None, None]
     if templated:
         t_rng = np.random.RandomState(seed + 1)
         templates = t_rng.uniform(
@@ -297,6 +294,14 @@ def make_synthetic(
             )
             sub = sub / max(sub.std(), 1e-6) * images.std()
             images[idx] = sub.astype(np.float32)
+    if heterogeneous:
+        # Applied LAST so the amplitude ramp scales the whole image —
+        # including templates ("_tpl_mix"): class k's removal then moves a
+        # probe loss ∝ amp_k^2, giving attribution demos heterogeneous
+        # ground-truth importance (equal-amplitude templates have near-equal
+        # Shapley values, which bounds LDS by retrain noise at fixed |S|).
+        amp = ((labels + 1) / num_classes).astype(np.float32)
+        images = images * amp[:, None, None, None]
     return ArrayDataset(images, labels)
 
 
