@@ -25,7 +25,40 @@ def parse_args(argv=None):
     parser.add_argument("--method", type=str, default="prune_fine_tune")
     parser.add_argument("--removal_dist", type=str, default="shapley")
     parser.add_argument("--model_behavior_key", type=str, default="fid_value")
+    parser.add_argument("--attributions", action="store_true",
+                        help="also fit kernel-SHAP attributions from each "
+                             "method's rows and report the correlation of "
+                             "the two attribution VECTORS (reference "
+                             "empirical_verification.ipynb cell 4: sFT-based "
+                             "Shapley vs retrain ground truth)")
+    parser.add_argument("--dataset", type=str, default=None,
+                        help="needed with --attributions to size the units")
+    parser.add_argument("--by_class", action="store_true")
+    parser.add_argument("--v1", type=float, default=None,
+                        help="full-model behavior (shapley efficiency "
+                             "anchor); defaults to behaviors.max(), which "
+                             "flips the constraint for loss-like behaviors "
+                             "— pass measured anchors when comparing those")
+    parser.add_argument("--v0", type=float, default=None,
+                        help="null-model behavior anchor (see --v1)")
     return parser.parse_args(argv)
+
+
+def _attribution_vector(db, cond, num_units, key, by_class, labels, v1, v0):
+    from ..attributions import collect_data
+    from ..attributions.methods import data_shapley
+
+    masks, behaviors, _ = collect_data(
+        db, cond, num_units, key, by_class=by_class, labels=labels
+    )
+    if len(masks) < num_units + 2:
+        raise SystemExit(
+            f"--attributions: {cond} has {len(masks)} rows; need at least "
+            f"num_units+2 = {num_units + 2} for a determined kernel-SHAP fit"
+        )
+    v1 = float(behaviors.max() if v1 is None else v1)
+    v0 = float(behaviors.min() if v0 is None else v0)
+    return data_shapley(num_units, masks, behaviors, v1, v0).ravel()
 
 
 def main(argv=None):
@@ -59,6 +92,35 @@ def main(argv=None):
         f"spearman={spearmanr(a, b).statistic:.4f} "
         f"mse={float(np.mean((a - b) ** 2)):.6f}"
     )
+
+    if args.attributions:
+        # Reference empirical_verification.ipynb cell 4: correlation of the
+        # Shapley attribution VECTOR fit from the efficient method's rows
+        # against the vector fit from retrain rows (the ground truth) —
+        # CIFAR 0.763-0.953 / CelebA 0.553-0.829 in BASELINE.md.
+        if args.dataset is None:
+            raise SystemExit("--attributions requires --dataset")
+        from ..data import create_dataset
+
+        dataset = create_dataset(args.dataset, train=True)
+        if args.by_class:
+            num_units, labels = dataset.num_classes, dataset.labels
+        else:
+            num_units, labels = len(dataset), None
+        vecs = {}
+        for method in (args.baseline_method, args.method):
+            cond = {"method": method, "removal_dist": args.removal_dist}
+            vecs[method] = _attribution_vector(
+                args.db, cond, num_units, args.model_behavior_key,
+                args.by_class, labels, args.v1, args.v0,
+            )
+        va = vecs[args.baseline_method]
+        vb = vecs[args.method]
+        print(
+            f"attribution vectors ({num_units} units): "
+            f"pearson={pearsonr(va, vb).statistic:.4f} "
+            f"spearman={spearmanr(va, vb).statistic:.4f}"
+        )
 
 
 if __name__ == "__main__":

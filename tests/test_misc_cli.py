@@ -79,6 +79,33 @@ def test_runtime_report_and_verification(tmp_path, capsys):
     assert "pearson=" in out and "spearman=" in out
 
 
+def test_verification_attribution_vectors(tmp_path, capsys):
+    """--attributions: Shapley vector fit from the efficient method's rows
+    correlates with the vector fit from retrain rows (notebook cell 4)."""
+    from group_attribution_for_diffusion_models_tpu.cli import empirical_verification
+    from group_attribution_for_diffusion_models_tpu.data import create_dataset
+    from group_attribution_for_diffusion_models_tpu.data.removal import sample_removal
+
+    labels = create_dataset("synthetic_64x8", train=True).labels
+    db = str(tmp_path / "db.jsonl")
+    true_attr = np.arange(10) * 0.1  # heterogeneous per-class effects
+    for s in range(20):
+        remaining, _ = sample_removal("shapley", labels, seed=s, by_class=True)
+        kept = np.unique(np.asarray(labels)[remaining])
+        v = float(true_attr[kept].sum())
+        for method, eps in (("retrain", 0.0), ("gd", 0.002 * (s % 3))):
+            append_record(db, {"method": method, "removal_dist": "shapley",
+                               "removal_seed": s, "eval_loss": v + eps})
+    empirical_verification.main([
+        "--db", db, "--method", "gd", "--model_behavior_key", "eval_loss",
+        "--attributions", "--dataset", "synthetic_64x8", "--by_class",
+    ])
+    out = capsys.readouterr().out
+    assert "attribution vectors" in out
+    pearson = float(out.split("attribution vectors")[1].split("pearson=")[1].split()[0])
+    assert pearson > 0.95  # near-identical behaviors -> near-identical vectors
+
+
 def test_experiments_generation(tmp_path):
     from group_attribution_for_diffusion_models_tpu.cli import experiments
 
