@@ -5,6 +5,7 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 
 def test_pipeline_facade(tmp_path):
@@ -118,5 +119,9 @@ def test_load_tokenizer_real_vocab(tmp_path):
     # With no merges the BPE stays at character level: 'a' -> a</w> = 2.
     assert ids[0, 1] == vocab["a</w>"]
     assert ids[1, -1] == 1  # EOS padding
-    # Missing vocab dir falls back to the deterministic hash tokenizer.
-    assert isinstance(load_tokenizer(str(tmp_path / "nope")), HashTokenizer)
+    # An explicitly requested vocab dir must load — silently substituting
+    # the hash tokenizer would feed arbitrary ids to real embeddings.
+    with pytest.raises(OSError):
+        load_tokenizer(str(tmp_path / "nope"))
+    # Only the no-vocab case stands in with the deterministic hash tokenizer.
+    assert isinstance(load_tokenizer(None), HashTokenizer)
