@@ -44,7 +44,42 @@ SAMPLE_STEPS = 100
 BASELINE_PASSES_PER_HOUR = 78.2
 
 
+def _probe_backend(timeout_s: float = 120.0):
+    """Fail fast (clear JSON diagnostic + exit 1) if the TPU backend is
+    unreachable, instead of hanging until an external timeout kills the
+    bench with no output. jax.devices() blocks indefinitely when the
+    remote-relay backend is down, so probe it from a daemon thread."""
+    import threading
+
+    result = {}
+
+    def probe():
+        import jax
+
+        result["devices"] = [str(d) for d in jax.devices()]
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if "devices" not in result:
+        print(
+            json.dumps(
+                {
+                    "metric": "subset_retrain_sample_passes_per_hour_per_chip",
+                    "value": 0,
+                    "unit": "passes/hour/chip",
+                    "vs_baseline": 0,
+                    "error": f"accelerator backend unreachable "
+                    f"(jax.devices() did not return within {timeout_s:.0f}s)",
+                }
+            )
+        )
+        raise SystemExit(1)
+
+
 def main():
+    _probe_backend()
+
     import jax
     import jax.numpy as jnp
 
