@@ -59,6 +59,10 @@ BASELINE_PASSES_PER_HOUR = 3600.0 / 646.0  # reference sparse-gd total
 
 
 def main():
+    from bench import _probe_backend
+
+    _probe_backend()
+
     import jax
     import jax.numpy as jnp
     import optax
