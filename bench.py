@@ -80,6 +80,12 @@ def _probe_backend(timeout_s: float = 120.0):
 def main():
     _probe_backend()
 
+    from group_attribution_for_diffusion_models_tpu.utils.compilation_cache import (
+        enable_persistent_cache,
+    )
+
+    enable_persistent_cache()
+
     import jax
     import jax.numpy as jnp
 

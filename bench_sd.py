@@ -63,6 +63,12 @@ def main():
 
     _probe_backend()
 
+    from group_attribution_for_diffusion_models_tpu.utils.compilation_cache import (
+        enable_persistent_cache,
+    )
+
+    enable_persistent_cache()
+
     import jax
     import jax.numpy as jnp
     import optax
