@@ -30,11 +30,14 @@ Output: one JSON line {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
 import time
 
 import numpy as np
 
-NUM_MEMBERS = 8
+# Env-overridable for member-count sweeps; the driver's defaults are the
+# recorded configuration.
+NUM_MEMBERS = int(os.environ.get("BENCH_MEMBERS", "8"))
 TRAIN_STEPS = 200
 BATCH = 64
 N_SAMPLES = 50

@@ -55,6 +55,9 @@ OPT = os.environ.get("SD_OPT", "adam8bit")
 # ~40 s scan chunks (still no per-step host round-trips).
 SCAN_CHUNK = int(os.environ.get("SD_SCAN_CHUNK", "25"))
 REMAT = os.environ.get("SD_REMAT", "1") == "1"
+# Selective remat: "full" (recompute whole blocks), "convs" (save 3x3 conv
+# outputs, recompute the rest), "convs_dots" (also save dense projections).
+REMAT_POLICY = os.environ.get("SD_REMAT_POLICY", "full")
 BASELINE_PASSES_PER_HOUR = 3600.0 / 646.0  # reference sparse-gd total
 
 
@@ -109,7 +112,7 @@ def main():
     schedule = make_schedule(sched_spec)
     # remat=False fits 1 member x batch 64 in HBM and skips the ~1/3
     # recompute; remat=True is what lets >= 4 members train concurrently.
-    model = UNet2D(spec, dtype=jnp.bfloat16, remat=REMAT)
+    model = UNet2D(spec, dtype=jnp.bfloat16, remat=REMAT, remat_policy=REMAT_POLICY)
 
     size, ch = spec.sample_size, spec.in_channels
     base_params = model.init(
@@ -298,6 +301,7 @@ def main():
         "rank": RANK,
         "opt": OPT,
         "remat": REMAT,
+        "remat_policy": REMAT_POLICY,
         "scan_chunk": chunk,
         "train_model_tflops_per_s": (
             round(train_model_tflop / train_s, 1) if train_s else None),

@@ -18,6 +18,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+from jax.ad_checkpoint import checkpoint_name
 
 from ..ops.attention import dot_product_attention
 
@@ -85,7 +86,13 @@ class ResnetBlock(nn.Module):
         hidden_ch = self.hidden_channels or self.out_channels
         h = nn.GroupNorm(self.groups, epsilon=self.eps, dtype=jnp.float32, name="norm1")(x)
         h = nn.silu(h)
-        h = nn.Conv(hidden_ch, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
+        # "remat_conv" tags feed UNet2D's selective remat_policy: a 3x3 conv
+        # is the one op worth saving in the backward pass (recomputing it
+        # costs real MXU FLOPs; the surrounding GN/SiLU are free to redo).
+        h = checkpoint_name(
+            nn.Conv(hidden_ch, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h),
+            "remat_conv",
+        )
 
         if temb is not None:
             t = nn.Dense(hidden_ch, dtype=self.dtype, name="time_emb_proj")(nn.silu(temb))
@@ -94,7 +101,10 @@ class ResnetBlock(nn.Module):
         h = nn.GroupNorm(self.groups, epsilon=self.eps, dtype=jnp.float32, name="norm2")(h)
         h = nn.silu(h)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
+        h = checkpoint_name(
+            nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h),
+            "remat_conv",
+        )
 
         if x.shape[-1] != self.out_channels:
             x = nn.Conv(

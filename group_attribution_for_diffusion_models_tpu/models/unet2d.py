@@ -39,6 +39,25 @@ _DOWN_TYPES = {"DownBlock2D", "AttnDownBlock2D", "CrossAttnDownBlock2D"}
 _UP_TYPES = {"UpBlock2D", "AttnUpBlock2D", "CrossAttnUpBlock2D"}
 
 
+def _resolve_remat_policy(name: Optional[str]):
+    """Map a UNet2D.remat_policy string to a jax.checkpoint policy."""
+    import jax
+
+    cp = jax.checkpoint_policies
+    if name is None or name == "full":
+        return None
+    if name == "convs":
+        return cp.save_only_these_names("remat_conv")
+    if name == "convs_dots":
+        return cp.save_from_both_policies(
+            cp.save_only_these_names("remat_conv"),
+            cp.dots_with_no_batch_dims_saveable,
+        )
+    raise ValueError(
+        f"unknown remat_policy {name!r}; expected full|convs|convs_dots"
+    )
+
+
 class UNet2D(nn.Module):
     """Noise-prediction U-Net. Input/output NHWC; timesteps shape (B,)."""
 
@@ -48,6 +67,18 @@ class UNet2D(nn.Module):
     # for O(depth) less activation HBM — the jax.checkpoint lever that lets
     # large ensembles of members train concurrently on one chip.
     remat: bool = False
+    # Selective-remat policy (only meaningful with remat=True):
+    #   None/"full"  — save nothing per block; backward recomputes the whole
+    #                  block forward (max memory savings, ~+1/3 FLOPs).
+    #   "convs"      — save the 3x3 conv outputs ("remat_conv" tags in
+    #                  layers.ResnetBlock); backward recomputes only the
+    #                  norms/activations/attention of each block. Cuts the
+    #                  recompute FLOPs where they are (convs are the FLOPs
+    #                  in these U-Nets) at ~2 saved tensors per resnet.
+    #   "convs_dots" — additionally save every no-batch-dim dot (all Dense /
+    #                  q/k/v/GEGLU projections); recompute is elementwise
+    #                  only, memory approaches no-remat.
+    remat_policy: Optional[str] = None
 
     def _hidden(self, path: str) -> Optional[int]:
         """Pruned hidden-width override for a resnet block, if any."""
@@ -80,11 +111,16 @@ class UNet2D(nn.Module):
         # Remat covers every block type: the transformer blocks' GEGLU/ff
         # activations (seq x 4*channels bf16 per block) dominate HBM at
         # ensemble batch sizes, not the resnets.
-        resnet_cls = nn.remat(ResnetBlock) if self.remat else ResnetBlock
-        self_attn_cls = nn.remat(SelfAttention2D) if self.remat else SelfAttention2D
-        xattn_cls = (
-            nn.remat(SpatialTransformer) if self.remat else SpatialTransformer
-        )
+        if self.remat:
+            policy = _resolve_remat_policy(self.remat_policy)
+            remat_kwargs = {} if policy is None else {"policy": policy}
+            resnet_cls = nn.remat(ResnetBlock, **remat_kwargs)
+            self_attn_cls = nn.remat(SelfAttention2D, **remat_kwargs)
+            xattn_cls = nn.remat(SpatialTransformer, **remat_kwargs)
+        else:
+            resnet_cls = ResnetBlock
+            self_attn_cls = SelfAttention2D
+            xattn_cls = SpatialTransformer
 
         def resnet(path: str, out_ch: int):
             return resnet_cls(

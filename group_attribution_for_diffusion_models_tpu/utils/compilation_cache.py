@@ -19,14 +19,24 @@ _DEFAULT_DIR = os.path.join(
 )
 
 
-def enable_persistent_cache(cache_dir: str | None = None) -> str:
+def enable_persistent_cache(cache_dir: str | None = None) -> str | None:
     """Point jax at an on-disk compilation cache and drop the size/time
     thresholds so even medium programs are cached. Returns the dir used.
 
     Honors JAX_COMPILATION_CACHE_DIR if already set (e.g. by the driver);
     otherwise defaults to <repo>/.jax_cache (gitignored).
+
+    No-op (returns None) when the process is pinned to the CPU backend:
+    XLA:CPU caches AOT machine code keyed looser than the host's exact
+    feature set, and reloading it logs SIGILL-risk errors — while CPU
+    compiles of the test-scale programs are cheap anyway. The win is the
+    TPU/relay path, where first compiles cost minutes.
     """
     import jax
+
+    platforms = jax.config.jax_platforms or os.environ.get("JAX_PLATFORMS", "")
+    if platforms.strip().lower() == "cpu":
+        return None
 
     cache_dir = (
         cache_dir

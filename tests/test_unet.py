@@ -111,3 +111,33 @@ def test_jit_compiles_once():
     x = jnp.ones((2, 8, 8, 3))
     out = fn(params, x, jnp.array([5, 5]))
     assert out.shape == (2, 8, 8, 3)
+
+
+@pytest.mark.parametrize("policy", [None, "convs", "convs_dots"])
+def test_remat_policy_grads_match(policy):
+    """Selective remat changes what the backward saves, never its value:
+    gradients must be identical to the no-remat model."""
+    model_ref = UNet2D(TINY)
+    model_remat = UNet2D(TINY, remat=True, remat_policy=policy)
+    x = jnp.linspace(-1, 1, 2 * 8 * 8 * 3).reshape(2, 8, 8, 3)
+    t = jnp.array([3, 7])
+    params = model_ref.init(jax.random.PRNGKey(0), x, t)["params"]
+
+    def loss(m):
+        return lambda p: jnp.mean(m.apply({"params": p}, x, t) ** 2)
+
+    g_ref = jax.grad(loss(model_ref))(params)
+    g_remat = jax.grad(loss(model_remat))(params)
+    flat_ref = jax.tree_util.tree_leaves(g_ref)
+    flat_remat = jax.tree_util.tree_leaves(g_remat)
+    assert len(flat_ref) == len(flat_remat)
+    for a, b in zip(flat_ref, flat_remat):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+def test_remat_policy_unknown_raises():
+    model = UNet2D(TINY, remat=True, remat_policy="bogus")
+    x = jnp.zeros((1, 8, 8, 3))
+    t = jnp.zeros((1,), jnp.int32)
+    with pytest.raises(ValueError, match="remat_policy"):
+        model.init(jax.random.PRNGKey(0), x, t)
