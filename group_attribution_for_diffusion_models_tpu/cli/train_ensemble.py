@@ -76,6 +76,21 @@ def parse_args(argv=None):
     parser.add_argument("--mesh_data", type=int, default=1)
     parser.add_argument("--bf16", action="store_true", default=False)
     parser.add_argument("--remat", action="store_true", default=False)
+    parser.add_argument(
+        "--remat_policy",
+        default=None,
+        choices=["full", "convs", "convs_dots"],
+        help="selective remat: what each block saves for backward "
+        "(full=nothing, convs=3x3 conv outputs, convs_dots=+dense outputs)",
+    )
+    parser.add_argument(
+        "--removal_masks", type=str, default=None,
+        help=".npy of explicit keep-masks, one row per removal seed (row "
+        "index = seed). Class-level masks (width = #classes) need "
+        "--by_class; image-level masks have width = len(dataset). "
+        "Use with --removal_dist enum for exhaustive subset enumeration "
+        "(ground-truth Shapley).",
+    )
     parser.add_argument("--save_ckpts", action="store_true", default=True)
     parser.add_argument("--log_freq", type=int, default=0,
                         help="tracker log interval in steps (0 = only final; "
@@ -123,13 +138,31 @@ def main(argv=None):
         return
 
     target = dataset.labels if args.by_class else len(dataset)
-    removals = [
-        sample_removal(
-            args.removal_dist, target, seed=s, alpha=args.datamodel_alpha,
-            by_class=args.by_class,
-        )
-        for s in seeds
-    ]
+    if args.removal_masks:
+        masks = np.load(args.removal_masks)
+
+        def _mask_to_removal(row):
+            keep = (
+                row.astype(bool)[dataset.labels]
+                if args.by_class
+                else row.astype(bool)
+            )
+            return (
+                np.flatnonzero(keep).astype(np.int64),
+                np.flatnonzero(~keep).astype(np.int64),
+            )
+
+        removals = [_mask_to_removal(masks[s]) for s in seeds]
+    elif args.removal_dist == "enum":
+        raise SystemExit("--removal_dist enum requires --removal_masks")
+    else:
+        removals = [
+            sample_removal(
+                args.removal_dist, target, seed=s, alpha=args.datamodel_alpha,
+                by_class=args.by_class,
+            )
+            for s in seeds
+        ]
     member_indices = [r[0] for r in removals]
 
     spec = cfg.unet
@@ -141,7 +174,7 @@ def main(argv=None):
         loaded_spec = load_unet_spec(load_meta(args.load))
         if loaded_spec is not None:
             spec = loaded_spec
-    model = UNet2D(spec, dtype=dtype, remat=args.remat)
+    model = UNet2D(spec, dtype=dtype, remat=args.remat, remat_policy=args.remat_policy)
     x0 = jnp.zeros((1, spec.sample_size, spec.sample_size, spec.in_channels))
     t0j = jnp.zeros((1,), jnp.int32)
 

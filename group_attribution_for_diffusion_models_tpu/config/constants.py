@@ -47,4 +47,8 @@ METHOD = [
     "lora_u",
     "if",
 ]
-REMOVAL_DIST = ["uniform", "datamodel", "shapley", "loo", "aoi", "by_class", "full"]
+REMOVAL_DIST = [
+    "uniform", "datamodel", "shapley", "loo", "aoi", "by_class", "full",
+    # explicit mask rows (--removal_masks): exhaustive ground-truth sweeps
+    "enum",
+]

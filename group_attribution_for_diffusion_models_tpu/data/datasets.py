@@ -30,6 +30,7 @@ from __future__ import annotations
 import dataclasses
 import os
 import pickle
+import re
 import struct
 from typing import List, Optional, Tuple
 
@@ -323,7 +324,14 @@ def create_dataset(
         n, size = 256, 32
         if len(parts) > 1 and "x" in parts[1]:
             n, size = (int(v) for v in parts[1].split("x"))
-        return make_synthetic(n=n, size=size, heterogeneous="mix" in parts,
+        # "c<k>" token pins the class count (default 10): e.g.
+        # "synthetic_1024x32_c8_tpl_mix" — 8 classes makes exhaustive
+        # 2^k subset enumeration feasible for ground-truth Shapley demos.
+        num_classes = next(
+            (int(p[1:]) for p in parts[2:] if re.fullmatch(r"c\d+", p)), 10
+        )
+        return make_synthetic(n=n, size=size, num_classes=num_classes,
+                              heterogeneous="mix" in parts,
                               textured="tex" in parts,
                               templated="tpl" in parts)
 

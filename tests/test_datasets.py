@@ -173,3 +173,14 @@ def test_templated_synthetic_classes_do_not_interpolate():
     ds2 = create_dataset("synthetic_512x16_tpl")
     assert np.array_equal(ds.images, ds2.images)
     assert ds.images.min() >= -1.0 and ds.images.max() <= 1.0
+
+
+def test_synthetic_class_count_token():
+    """"c<k>" pins the synthetic class count (ground-truth enumeration runs
+    need 2^k subsets to stay feasible)."""
+    ds = create_dataset("synthetic_256x8_c4_tpl_mix")
+    assert set(np.unique(ds.labels)) <= set(range(4))
+    assert int(ds.labels.max()) == 3
+    # Default stays 10 classes; unknown tokens elsewhere don't confuse it.
+    ds10 = create_dataset("synthetic_256x8_tpl_mix")
+    assert int(ds10.labels.max()) == 9
