@@ -140,6 +140,12 @@ def main(argv=None):
     target = dataset.labels if args.by_class else len(dataset)
     if args.removal_masks:
         masks = np.load(args.removal_masks)
+        expected = (int(dataset.labels.max()) + 1) if args.by_class else len(dataset)
+        if masks.shape[1] != expected:
+            raise SystemExit(
+                f"--removal_masks width {masks.shape[1]} != expected "
+                f"{expected} ({'classes, --by_class set' if args.by_class else 'images'})"
+            )
 
         def _mask_to_removal(row):
             keep = (

@@ -55,3 +55,42 @@ def test_enum_requires_masks(tmp_path):
             "--dataset", "synthetic_64x8", "--removal_dist", "enum",
             "--num_seeds", "2", "--outdir", str(tmp_path),
         ])
+
+
+def test_removal_masks_width_validation(tmp_path):
+    from group_attribution_for_diffusion_models_tpu.cli import train_ensemble
+
+    bad = np.zeros((2, 7), np.int8)
+    bad[:, 0] = 1
+    path = tmp_path / "masks.npy"
+    np.save(path, bad)
+    with pytest.raises(SystemExit, match="width"):
+        train_ensemble.main([
+            "--dataset", "synthetic_64x8", "--removal_dist", "enum",
+            "--removal_masks", str(path), "--num_seeds", "2",
+            "--outdir", str(tmp_path),
+        ])
+
+
+def test_image_level_masks_train(tmp_path):
+    """Image-level explicit masks (width = len(dataset)) train end to end."""
+    from group_attribution_for_diffusion_models_tpu.cli import train_ensemble
+
+    rng = np.random.RandomState(0)
+    masks = (rng.rand(2, 64) > 0.5).astype(np.int8)
+    masks[:, 0] = 1  # keep non-empty
+    path = tmp_path / "masks.npy"
+    np.save(path, masks)
+    db = str(tmp_path / "db.jsonl")
+    train_ensemble.main([
+        "--dataset", "synthetic_64x8", "--removal_dist", "enum",
+        "--removal_masks", str(path), "--num_seeds", "2",
+        "--training_steps", "2", "--batch_size", "4",
+        "--outdir", str(tmp_path), "--db", db,
+    ])
+    rows = [json.loads(line) for line in open(db)]
+    assert len(rows) == 2
+    for s, rec in enumerate(rows):
+        np.testing.assert_array_equal(
+            np.sort(rec["remaining_idx"]), np.flatnonzero(masks[s])
+        )
