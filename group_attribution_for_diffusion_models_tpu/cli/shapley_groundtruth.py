@@ -55,6 +55,10 @@ def parse_args(argv=None):
                              "convergence curve")
     parser.add_argument("--num_estimate_seeds", type=int, default=3,
                         help="independent estimate draws averaged per count")
+    parser.add_argument("--estimate_dists", type=str,
+                        default="shapley,shapley_paired",
+                        help="fit-subset samplers to compare against the "
+                             "exact game (paired = antithetic complements)")
     return parser.parse_args(argv)
 
 
@@ -151,11 +155,11 @@ def main(argv=None):
     )
 
     # 5) KernelSHAP estimates at increasing fit counts, valued by lookup.
-    def _estimate(count, seed0):
+    def _estimate(count, seed0, dist):
         xs, ys = [], []
         for j in range(count):
             remaining, _ = sample_removal(
-                "shapley", labels, seed=seed0 + j, by_class=True
+                dist, labels, seed=seed0 + j, by_class=True
             )
             kept = np.unique(labels[remaining])
             m = np.zeros(n_classes, np.float32)
@@ -174,19 +178,25 @@ def main(argv=None):
 
     curve = []
     fit_counts = [int(c) for c in args.fit_counts.split(",")]
-    for count in fit_counts:
-        pearsons, spearmans = [], []
-        for e in range(args.num_estimate_seeds):
-            est = _estimate(count, seed0=10_000 * (e + 1))
-            pearsons.append(_pearson(est, exact))
-            ra = np.argsort(np.argsort(est)).astype(np.float64)
-            rb = np.argsort(np.argsort(exact)).astype(np.float64)
-            spearmans.append(_pearson(ra, rb))
-        curve.append({
-            "fit_subsets": count,
-            "pearson": round(float(np.mean(pearsons)), 4),
-            "spearman": round(float(np.mean(spearmans)), 4),
-        })
+    dists = [d.strip() for d in args.estimate_dists.split(",") if d.strip()]
+    for dist in dists:
+        for count in fit_counts:
+            pearsons, spearmans, mses = [], [], []
+            for e in range(args.num_estimate_seeds):
+                # even seed0 keeps shapley_paired's (2k, 2k+1) pairs aligned
+                est = _estimate(count, seed0=10_000 * (e + 1), dist=dist)
+                pearsons.append(_pearson(est, exact))
+                ra = np.argsort(np.argsort(est)).astype(np.float64)
+                rb = np.argsort(np.argsort(exact)).astype(np.float64)
+                spearmans.append(_pearson(ra, rb))
+                mses.append(float(np.mean((est - exact) ** 2)))
+            curve.append({
+                "dist": dist,
+                "fit_subsets": count,
+                "pearson": round(float(np.mean(pearsons)), 4),
+                "spearman": round(float(np.mean(spearmans)), 4),
+                "mse": float(np.mean(mses)),
+            })
 
     total_time = time.time() - t0
     summary = {
@@ -209,8 +219,9 @@ def main(argv=None):
     print("ground-truth convergence (exact Shapley from "
           f"{num_masks} exhaustive retrains):")
     for row in curve:
-        print(f"  fit={row['fit_subsets']:>4d}  "
-              f"Pearson={row['pearson']:+.3f}  Spearman={row['spearman']:+.3f}")
+        print(f"  {row['dist']:>16s} fit={row['fit_subsets']:>4d}  "
+              f"Pearson={row['pearson']:+.3f}  Spearman={row['spearman']:+.3f}  "
+              f"mse={row['mse']:.3e}")
     print(json.dumps(summary))
 
 

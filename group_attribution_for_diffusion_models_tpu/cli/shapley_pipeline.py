@@ -34,6 +34,12 @@ def parse_args(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
     add_common_args(parser)
     parser.add_argument("--num_fit_subsets", type=int, default=16)
+    parser.add_argument("--fit_dist", type=str, default="shapley",
+                        choices=["shapley", "shapley_paired"],
+                        help="fit-subset sampler; shapley_paired draws "
+                             "antithetic complement pairs (Covert & Lee "
+                             "paired sampling — lower estimator variance "
+                             "at the same retrain budget)")
     parser.add_argument("--num_test_subsets", type=int, default=8)
     parser.add_argument("--test_seed_start", type=int, default=42)
     parser.add_argument("--training_steps", type=int, default=None)
@@ -92,7 +98,7 @@ def main(argv=None):
     t0 = time.time()
 
     # 1+2) subset ensembles: shapley fit rows + datamodel test rows.
-    _train_chunked(args, "shapley", args.removal_seed, args.num_fit_subsets, db)
+    _train_chunked(args, args.fit_dist, args.removal_seed, args.num_fit_subsets, db)
     _train_chunked(args, "datamodel", args.test_seed_start, args.num_test_subsets, db)
 
     # Efficiency-constraint anchors: v1/v0 are the behaviors of the
@@ -162,7 +168,7 @@ def main(argv=None):
         return (np.stack(masks), np.asarray(ys)) if masks else (
             np.zeros((0, n_units)), np.zeros(0))
 
-    x_fit, y_fit = rows_to_xy("shapley")
+    x_fit, y_fit = rows_to_xy(args.fit_dist)
     x_test, y_test = rows_to_xy("datamodel")
     if len(x_fit) < 2 or len(x_test) < 2:
         raise SystemExit(

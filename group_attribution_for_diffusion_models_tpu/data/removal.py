@@ -157,6 +157,33 @@ def remove_data_by_shapley(
     return all_idx[:remaining_size], all_idx[remaining_size:]
 
 
+def remove_data_by_shapley_paired(
+    dataset_size_or_labels: Union[int, Labels],
+    seed: int = 0,
+    by_class: bool = False,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Antithetic (paired) Shapley-kernel sampling: seeds 2k and 2k+1 draw
+    COMPLEMENTARY subsets of one kernel draw.
+
+    The kernel size PMF p(|S|) ∝ (n-1)/(|S|(n-|S|)) is symmetric under
+    |S| -> n-|S| and the subset is uniform given its size, so the complement
+    of a kernel draw is itself kernel-distributed — each member of a pair is
+    marginally identical to an independent draw, while the pair's opposite
+    inclusion vectors cancel the dominant noise direction of the constrained
+    least squares (Covert & Lee 2021's paired-sampling variance reduction,
+    which the reference's sampler never implemented; validated against the
+    exact enumerated game in tests/test_groundtruth_cli.py and
+    tests/test_removal.py). Sizes are 1..n-1, so complements are never
+    empty/full.
+    """
+    remaining, removed = remove_data_by_shapley(
+        dataset_size_or_labels, seed // 2, by_class
+    )
+    if seed % 2:
+        return removed, remaining
+    return remaining, removed
+
+
 def remove_data_by_loo(dataset_size: int, loo_idx: int) -> Tuple[np.ndarray, np.ndarray]:
     """Leave-one-out split (reference src/datasets.py:700-707)."""
     removed_idx = np.array([loo_idx])
@@ -208,6 +235,10 @@ def sample_removal(
         return remove_data_by_datamodel(dataset_size_or_labels, alpha, seed, by_class)
     if removal_dist == "shapley":
         return remove_data_by_shapley(dataset_size_or_labels, seed, by_class)
+    if removal_dist == "shapley_paired":
+        return remove_data_by_shapley_paired(
+            dataset_size_or_labels, seed, by_class
+        )
     if removal_dist == "loo":
         if idx is None:
             raise ValueError("loo requires idx")

@@ -23,6 +23,7 @@ DATASET=${DATASET:-synthetic_2048x32_tpl_mix}
 FIT=${FIT:-64}
 TEST=${TEST:-24}
 STEPS=${STEPS:-800}
+FIT_DIST=${FIT_DIST:-shapley_paired}
 VQ_STEPS=${VQ_STEPS:-3000}
 mkdir -p "$OUT"
 
@@ -36,5 +37,6 @@ fi
 python -m group_attribution_for_diffusion_models_tpu.cli.shapley_pipeline \
   --dataset "${DATASET}_ldm" --behavior eval_loss \
   --num_fit_subsets "$FIT" --num_test_subsets "$TEST" \
+  --fit_dist "$FIT_DIST" \
   --training_steps "$STEPS" --chunk_size 16 --log_freq 100 \
   --vqvae_weights "$VQW" --outdir "$OUT"

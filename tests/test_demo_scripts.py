@@ -45,7 +45,10 @@ def _assert_pipeline_db(proc, db_path):
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "LDS =" in proc.stdout + proc.stderr
     rows = [json.loads(line) for line in open(db_path)]
-    assert any(r.get("removal_dist") == "shapley" for r in rows)
+    # fit rows: the demos default to antithetic paired Shapley sampling
+    assert any(
+        r.get("removal_dist") in ("shapley", "shapley_paired") for r in rows
+    )
     assert any(r.get("removal_dist") == "datamodel" for r in rows)
 
 

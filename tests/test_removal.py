@@ -123,3 +123,62 @@ def test_removal_masks_shape_and_consistency():
     assert set(np.unique(masks)) <= {0.0, 1.0}
     remaining, _ = remove_data_by_shapley(32, seed=3)
     np.testing.assert_array_equal(np.flatnonzero(masks[3]), np.sort(remaining))
+
+
+def test_shapley_paired_partitions():
+    """Seeds (2k, 2k+1) are exact complements; each half is never empty."""
+    for base in range(0, 20, 2):
+        r0, x0 = sample_removal("shapley_paired", 16, seed=base)
+        r1, x1 = sample_removal("shapley_paired", 16, seed=base + 1)
+        np.testing.assert_array_equal(np.sort(r0), np.sort(x1))
+        np.testing.assert_array_equal(np.sort(x0), np.sort(r1))
+        assert 0 < len(r0) < 16 and 0 < len(r1) < 16
+    # by_class variant partitions the class set the same way.
+    labels = np.arange(6).repeat(4)
+    r0, _ = sample_removal("shapley_paired", labels, seed=4, by_class=True)
+    r1, _ = sample_removal("shapley_paired", labels, seed=5, by_class=True)
+    kept0 = set(np.unique(labels[r0]))
+    kept1 = set(np.unique(labels[r1]))
+    assert kept0 | kept1 == set(range(6)) and not (kept0 & kept1)
+
+
+def test_shapley_paired_variance_reduction():
+    """Paired sampling beats iid sampling against an exact nonlinear game
+    at the same subset budget (Covert & Lee 2021 paired-sampling claim)."""
+    from group_attribution_for_diffusion_models_tpu.attributions.methods import (
+        brute_force_shapley,
+        data_shapley,
+    )
+
+    n = 10
+    rng = np.random.RandomState(7)
+    w = rng.normal(size=n)
+    u = rng.normal(size=(n, n)) * 0.4
+    u = np.triu(u, 1)
+
+    def game(s):
+        idx = np.array(sorted(s), np.int64)
+        if not len(idx):
+            return 0.0
+        m = np.zeros(n)
+        m[idx] = 1.0
+        return float(w @ m + m @ u @ m)
+
+    exact = brute_force_shapley(n, game)
+    v1, v0 = game(set(range(n))), game(set())
+
+    def mse(dist, seed0, count=24):
+        xs, ys = [], []
+        for j in range(count):
+            remaining, _ = sample_removal(dist, n, seed=seed0 + j)
+            m = np.zeros(n, np.float32)
+            m[remaining] = 1.0
+            xs.append(m)
+            ys.append(game(set(remaining.tolist())))
+        est = data_shapley(n, np.stack(xs), np.asarray(ys), v1, v0).ravel()
+        return float(np.mean((est - exact) ** 2))
+
+    seeds = [1000 * (e + 1) * 2 for e in range(8)]
+    mse_iid = np.mean([mse("shapley", s) for s in seeds])
+    mse_paired = np.mean([mse("shapley_paired", s) for s in seeds])
+    assert mse_paired < mse_iid, (mse_paired, mse_iid)
