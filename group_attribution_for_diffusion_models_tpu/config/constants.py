@@ -48,7 +48,8 @@ METHOD = [
     "if",
 ]
 REMOVAL_DIST = [
-    "uniform", "datamodel", "shapley", "shapley_paired", "loo", "aoi",
+    "uniform", "uniform_paired", "datamodel", "shapley", "shapley_paired",
+    "loo", "aoi",
     "by_class", "full",
     # explicit mask rows (--removal_masks): exhaustive ground-truth sweeps
     "enum",

@@ -11,6 +11,7 @@ from .removal import (  # noqa: F401
     remove_data_by_loo,
     remove_data_by_shapley,
     remove_data_by_shapley_paired,
+    remove_data_by_uniform_paired,
     remove_data_by_uniform,
     remove_data_for_aoi,
     removal_masks,

@@ -80,6 +80,26 @@ def remove_data_by_uniform(
     return all_idx[selected], all_idx[~selected]
 
 
+def remove_data_by_uniform_paired(
+    dataset_size_or_labels: Union[int, Labels],
+    seed: int = 0,
+    by_class: bool = False,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Antithetic p=0.5 sampling: seeds 2k/2k+1 draw complementary subsets.
+
+    The complement of a p=0.5 draw is p=0.5-distributed, so marginals match
+    remove_data_by_uniform while pairs cancel first-order estimator noise —
+    the Banzhaf analog of remove_data_by_shapley_paired (Banzhaf lstsq runs
+    on ±1/2-shifted masks, so a pair contributes exactly opposite design
+    rows)."""
+    remaining, removed = remove_data_by_uniform(
+        dataset_size_or_labels, seed // 2, by_class
+    )
+    if seed % 2:
+        return removed, remaining
+    return remaining, removed
+
+
 def remove_data_by_datamodel(
     dataset_size_or_labels: Union[int, Labels],
     alpha: float = 0.5,
@@ -231,6 +251,10 @@ def sample_removal(
     """Dispatch on the removal-distribution name (the CLI-facing entrypoint)."""
     if removal_dist == "uniform":
         return remove_data_by_uniform(dataset_size_or_labels, seed, by_class)
+    if removal_dist == "uniform_paired":
+        return remove_data_by_uniform_paired(
+            dataset_size_or_labels, seed, by_class
+        )
     if removal_dist == "datamodel":
         return remove_data_by_datamodel(dataset_size_or_labels, alpha, seed, by_class)
     if removal_dist == "shapley":

@@ -182,3 +182,15 @@ def test_shapley_paired_variance_reduction():
     mse_iid = np.mean([mse("shapley", s) for s in seeds])
     mse_paired = np.mean([mse("shapley_paired", s) for s in seeds])
     assert mse_paired < mse_iid, (mse_paired, mse_iid)
+
+
+def test_uniform_paired_partitions():
+    for base in range(0, 12, 2):
+        r0, x0 = sample_removal("uniform_paired", 32, seed=base)
+        r1, x1 = sample_removal("uniform_paired", 32, seed=base + 1)
+        np.testing.assert_array_equal(np.sort(r0), np.sort(x1))
+        np.testing.assert_array_equal(np.sort(x0), np.sort(r1))
+    # Even seeds reproduce the plain uniform draw (marginal unchanged).
+    ru, _ = sample_removal("uniform", 32, seed=3)
+    rp, _ = sample_removal("uniform_paired", 32, seed=6)
+    np.testing.assert_array_equal(ru, rp)
