@@ -69,14 +69,22 @@ def main(argv=None):
         cond = {"dataset": args.dataset, "method": args.method}
         if args.exp_name:
             cond["exp_name"] = args.exp_name
-        dist = {"shapley": "shapley", "banzhaf": "uniform", "datamodel": "datamodel"}[
-            args.attribution_method
+        # The *_paired antithetic rows are marginally identical to their base
+        # distribution, so they pool into the same fit.
+        dists = {
+            "shapley": ("shapley", "shapley_paired"),
+            "banzhaf": ("uniform", "uniform_paired"),
+            "datamodel": ("datamodel",),
+        }[args.attribution_method]
+        parts = [
+            collect_data(
+                args.train_db, {**cond, "removal_dist": d}, num_units,
+                args.model_behavior_key, by_class=args.by_class, labels=labels,
+            )
+            for d in dists
         ]
-        cond["removal_dist"] = dist
-        masks, behaviors, _ = collect_data(
-            args.train_db, cond, num_units, args.model_behavior_key,
-            by_class=args.by_class, labels=labels,
-        )
+        masks = np.concatenate([p[0] for p in parts], axis=0)
+        behaviors = np.concatenate([p[1] for p in parts], axis=0)
         if len(masks) == 0:
             raise SystemExit(f"no rows matched {cond} in {args.train_db}")
         if args.attribution_method == "shapley":

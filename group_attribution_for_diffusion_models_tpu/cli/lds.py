@@ -71,12 +71,15 @@ def fit_attribution(
     v0=None,
     num_runs: int = 1,
 ):
-    """Per-distribution estimator dispatch (reference lds.py:411-445)."""
-    if removal_dist == "shapley":
+    """Per-distribution estimator dispatch (reference lds.py:411-445).
+
+    The *_paired antithetic variants are marginally identical to their base
+    distributions, so they fit with the same estimator."""
+    if removal_dist in ("shapley", "shapley_paired"):
         v1 = float(v1 if v1 is not None else behaviors.max())
         v0 = float(v0 if v0 is not None else behaviors.min())
         return data_shapley(num_units, masks, behaviors, v1, v0).ravel()
-    if removal_dist == "uniform":
+    if removal_dist in ("uniform", "uniform_paired"):
         return data_banzhaf(masks, behaviors).ravel()
     if removal_dist == "datamodel":
         return datamodel(masks, behaviors, num_runs=num_runs).mean(axis=0)

@@ -50,9 +50,10 @@ def parse_args(argv=None):
     parser.add_argument("--eval_t_max", type=int, default=None)
     parser.add_argument("--log_freq", type=int, default=0,
                         help="scan-chunk size in steps (0 = one dispatch)")
-    parser.add_argument("--fit_counts", type=str, default="10,25,50,100,200",
+    parser.add_argument("--fit_counts", type=str, default="10,24,50,100,200",
                         help="KernelSHAP fit-subset counts for the "
-                             "convergence curve")
+                             "convergence curve (even counts keep "
+                             "shapley_paired's antithetic pairs complete)")
     parser.add_argument("--num_estimate_seeds", type=int, default=3,
                         help="independent estimate draws averaged per count")
     parser.add_argument("--estimate_dists", type=str,
@@ -93,6 +94,16 @@ def main(argv=None):
         args.outdir, f"{args.dataset}_groundtruth_db.jsonl"
     )
     t0 = time.time()
+
+    # Resolve the effective retrain budget up front: rows are filtered on it
+    # below, so a re-run into a reused outdir with different --training_steps
+    # (or eval band) fails loudly instead of silently mixing stale rows
+    # (train_ensemble's checkpoint idempotence would skip the retrains).
+    from .common import config_for
+
+    if args.training_steps is None:
+        cfg = config_for(args.dataset)
+        args.training_steps = cfg.train.training_steps.get("retrain", 1000)
 
     dataset = create_dataset(args.dataset, train=True)
     labels = dataset.labels
@@ -137,6 +148,10 @@ def main(argv=None):
                                    "removal_dist": "enum"}):
         if rec.get("eval_loss") is None:
             continue
+        if (rec.get("training_steps") != args.training_steps
+                or rec.get("eval_t_min") != args.eval_t_min
+                or rec.get("eval_t_max") != args.eval_t_max):
+            continue  # stale row from a differently-configured run
         kept = np.unique(labels[np.asarray(rec["remaining_idx"], np.int64)])
         v[int(np.sum(1 << kept))] = float(rec["eval_loss"])
     for rec in filter_records(db, {"dataset": args.dataset,
@@ -145,7 +160,13 @@ def main(argv=None):
             v[0] = float(rec["eval_loss"])
     missing = int(np.isnan(v).sum())
     if missing:
-        raise SystemExit(f"{missing} subset values missing from {db}")
+        raise SystemExit(
+            f"{missing} subset values missing from {db} at "
+            f"training_steps={args.training_steps} "
+            f"eval_t=[{args.eval_t_min},{args.eval_t_max}); a reused outdir "
+            "with different settings skips retrains on existing checkpoints "
+            "— use a fresh --outdir"
+        )
     v0, v1 = float(v[0]), float(v[num_masks])
 
     # 4) exact Shapley over the measured game.
@@ -170,11 +191,10 @@ def main(argv=None):
             n_classes, np.stack(xs), np.asarray(ys), v1, v0
         ).ravel()
 
-    def _pearson(a, b):
-        a = a - a.mean()
-        b = b - b.mean()
-        denom = np.sqrt((a * a).sum() * (b * b).sum())
-        return float((a * b).sum() / denom) if denom > 0 else 0.0
+    # scipy handles tied ranks correctly (data_shapley snaps tiny
+    # coefficients to exactly 0, which a double-argsort Spearman would
+    # rank arbitrarily).
+    from scipy import stats
 
     curve = []
     fit_counts = [int(c) for c in args.fit_counts.split(",")]
@@ -185,10 +205,8 @@ def main(argv=None):
             for e in range(args.num_estimate_seeds):
                 # even seed0 keeps shapley_paired's (2k, 2k+1) pairs aligned
                 est = _estimate(count, seed0=10_000 * (e + 1), dist=dist)
-                pearsons.append(_pearson(est, exact))
-                ra = np.argsort(np.argsort(est)).astype(np.float64)
-                rb = np.argsort(np.argsort(exact)).astype(np.float64)
-                spearmans.append(_pearson(ra, rb))
+                pearsons.append(float(stats.pearsonr(est, exact)[0]))
+                spearmans.append(float(stats.spearmanr(est, exact)[0]))
                 mses.append(float(np.mean((est - exact) ** 2)))
             curve.append({
                 "dist": dist,

@@ -98,6 +98,17 @@ def main(argv=None):
     t0 = time.time()
 
     # 1+2) subset ensembles: shapley fit rows + datamodel test rows.
+    if args.fit_dist.endswith("_paired") and (
+        args.removal_seed % 2 or args.num_fit_subsets % 2
+    ):
+        # Pairs are (2k, 2k+1); an odd start offsets every pair and an odd
+        # count leaves one draw unpaired — marginals stay correct but the
+        # antithetic variance reduction (the point of *_paired) degrades.
+        print(
+            f"WARNING: {args.fit_dist} wants an even --removal_seed and "
+            f"--num_fit_subsets to form complete antithetic pairs "
+            f"(got seed={args.removal_seed}, n={args.num_fit_subsets})"
+        )
     _train_chunked(args, args.fit_dist, args.removal_seed, args.num_fit_subsets, db)
     _train_chunked(args, "datamodel", args.test_seed_start, args.num_test_subsets, db)
 

@@ -139,7 +139,25 @@ def main(argv=None):
 
     target = dataset.labels if args.by_class else len(dataset)
     if args.removal_masks:
+        if args.removal_dist != "enum":
+            # Mask-trained members recorded under another dist name would
+            # poison downstream filters (e.g. the pipeline's 'full' anchor
+            # lookup), so the pairing is mandatory.
+            raise SystemExit(
+                "--removal_masks requires --removal_dist enum "
+                f"(got {args.removal_dist!r})"
+            )
         masks = np.load(args.removal_masks)
+        if masks.ndim != 2:
+            raise SystemExit(
+                f"--removal_masks must be 2-D (seeds x units); got shape "
+                f"{masks.shape}"
+            )
+        if args.seed_start + args.num_seeds > len(masks):
+            raise SystemExit(
+                f"--removal_masks has {len(masks)} rows but seeds run to "
+                f"{args.seed_start + args.num_seeds - 1}"
+            )
         expected = (int(dataset.labels.max()) + 1) if args.by_class else len(dataset)
         if masks.shape[1] != expected:
             raise SystemExit(
@@ -170,6 +188,15 @@ def main(argv=None):
             for s in seeds
         ]
     member_indices = [r[0] for r in removals]
+    empty = [s for s, m in zip(seeds, member_indices) if len(m) == 0]
+    if empty:
+        # Possible for p=0.5 draws (incl. uniform_paired complements of an
+        # all-kept base draw) and explicit masks; training on nothing is
+        # undefined, so fail loudly instead of batch_size=0 deep in the jit.
+        raise SystemExit(
+            f"removal seeds {empty} keep zero examples; cannot train empty "
+            "members"
+        )
 
     spec = cfg.unet
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32

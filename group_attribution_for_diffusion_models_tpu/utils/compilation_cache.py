@@ -26,16 +26,19 @@ def enable_persistent_cache(cache_dir: str | None = None) -> str | None:
     Honors JAX_COMPILATION_CACHE_DIR if already set (e.g. by the driver);
     otherwise defaults to <repo>/.jax_cache (gitignored).
 
-    No-op (returns None) when the process is pinned to the CPU backend:
-    XLA:CPU caches AOT machine code keyed looser than the host's exact
-    feature set, and reloading it logs SIGILL-risk errors — while CPU
-    compiles of the test-scale programs are cheap anyway. The win is the
-    TPU/relay path, where first compiles cost minutes.
+    Enabled ONLY when the process is explicitly pinned to an accelerator
+    platform (tpu / the axon relay): XLA:CPU caches AOT machine code keyed
+    looser than the host's exact feature set, and reloading it logs
+    SIGILL-risk errors — while CPU compiles of the test-scale programs are
+    cheap anyway. The win is the TPU/relay path, where first compiles cost
+    minutes. Returns None when skipped.
     """
     import jax
 
-    platforms = jax.config.jax_platforms or os.environ.get("JAX_PLATFORMS", "")
-    if platforms.strip().lower() == "cpu":
+    platforms = (
+        jax.config.jax_platforms or os.environ.get("JAX_PLATFORMS", "") or ""
+    ).lower()
+    if not any(p in platforms for p in ("tpu", "axon", "cuda", "rocm", "gpu")):
         return None
 
     cache_dir = (

@@ -15,7 +15,7 @@ OUT=${OUT:-/tmp/groundtruth_demo}
 DATASET=${DATASET:-synthetic_1024x32_c8_tpl_mix_big}
 STEPS=${STEPS:-400}
 CHUNK=${CHUNK:-32}
-FIT_COUNTS=${FIT_COUNTS:-10,25,50,100,200}
+FIT_COUNTS=${FIT_COUNTS:-10,24,50,100,200}
 mkdir -p "$OUT"
 
 python -m group_attribution_for_diffusion_models_tpu.cli.shapley_groundtruth \

@@ -172,3 +172,16 @@ def test_ridge_cv_matches_sklearn_ridgecv():
     ours = ridge_cv(x, y, alphas=(0.1, 1.0, 10.0), cv=5)
     ref = RidgeCV(cv=5, alphas=[0.1, 1.0, 10.0]).fit(x, y)
     np.testing.assert_allclose(ours, ref.coef_, atol=1e-10)
+
+
+def test_fit_attribution_accepts_paired_dists():
+    from group_attribution_for_diffusion_models_tpu.cli.lds import fit_attribution
+
+    rng = np.random.RandomState(0)
+    masks = (rng.rand(12, 6) > 0.5).astype(np.float32)
+    y = masks @ np.arange(1.0, 7.0) + 0.1 * rng.randn(12)
+    for base, paired in [("shapley", "shapley_paired"),
+                         ("uniform", "uniform_paired")]:
+        a = fit_attribution(base, masks, y, 6, v1=y.max(), v0=y.min())
+        b = fit_attribution(paired, masks, y, 6, v1=y.max(), v0=y.min())
+        np.testing.assert_allclose(a, b)
