@@ -191,3 +191,35 @@ def test_run_scanned_sharded():
     assert np.asarray(metrics["loss"]).shape == (4, 8)
     leaf = jax.tree_util.tree_leaves(state.params)[0]
     assert len(leaf.sharding.device_set) == 8
+
+
+def test_remat_policy_matches_in_scanned_ensemble():
+    """Selective remat composes with vmap(members) + lax.scan(steps) without
+    changing training numerics."""
+    spec = SchedulerSpec()
+    schedule = make_schedule(spec)
+    ds = make_synthetic(n=32, size=8)
+    images_u8 = ((ds.images + 1.0) * 127.5).astype(np.uint8)
+    member_idx = [sample_removal("shapley", 32, seed=s)[0] for s in range(2)]
+
+    losses = {}
+    for policy in (None, "convs"):
+        model = UNet2D(TINY, remat=policy is not None, remat_policy=policy)
+        trainer = EnsembleTrainer(
+            apply_fn=model.apply,
+            tx=make_optimizer("adam", lr=1e-3),
+            schedule=schedule,
+            spec=spec,
+            images_u8=images_u8,
+            member_indices=member_idx,
+            batch_size=8,
+        )
+        params = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)),
+            jnp.zeros((1,), jnp.int32),
+        )["params"]
+        state, metrics = trainer.run_scanned(
+            trainer.init_state(params=params), 3, seed=5
+        )
+        losses[policy] = np.asarray(metrics["loss"])
+    np.testing.assert_allclose(losses[None], losses["convs"], rtol=1e-5, atol=1e-6)
