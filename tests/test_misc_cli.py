@@ -128,3 +128,13 @@ def test_experiments_generation(tmp_path):
         "--command_file", retry,
     ])
     assert len(open(retry).read().splitlines()) == 3
+
+
+def test_package_main_lists_commands(capsys):
+    from group_attribution_for_diffusion_models_tpu.__main__ import main
+
+    assert main(["--help"]) == 0
+    out = capsys.readouterr().out
+    for name in ("train_ensemble", "shapley_pipeline", "shapley_groundtruth"):
+        assert name in out
+    assert main(["no_such_command"]) == 2
