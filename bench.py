@@ -47,7 +47,7 @@ SAMPLE_STEPS = 100
 BASELINE_PASSES_PER_HOUR = 78.2
 
 
-def _probe_backend(timeout_s: float = 120.0):
+def _probe_backend(timeout_s: float = 300.0):
     """Fail fast (clear JSON diagnostic + exit 1) if the TPU backend is
     unreachable, instead of hanging until an external timeout kills the
     bench with no output. jax.devices() blocks indefinitely when the
