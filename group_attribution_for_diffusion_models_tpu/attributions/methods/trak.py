@@ -83,6 +83,7 @@ def make_grad_feature_fn(
     proj_seed: int = 0,
     params_filter: Optional[Callable] = None,
     conditional: bool = False,
+    sketch_probe: Optional[dict] = None,
 ):
     """Build a jitted (params, images, key[, ehs]) -> (B, proj_dim) extractor.
 
@@ -92,12 +93,55 @@ def make_grad_feature_fn(
     params. With `conditional=True` the extractor takes per-sample
     encoder_hidden_states (B, 77, D) as a fourth argument (the SD text-to-
     image path, reference grad_text_to_image_lora.py:591-724).
+
+    `sketch_probe` (a models.lora.probe_sketch_init tree; exclusive with
+    params_filter) switches to Kronecker-probe gradient sketching: the model
+    runs with the probe as a zero-output LoRA side branch and only the
+    probe's `up` leaves are differentiated, so each per-sample "gradient" is
+    already the k-row input-side sketch down^T @ grad_kernel per attention
+    projection — the (B, n_params) per-sample gradient matrix (the memory
+    wall: 143 MB/sample fp32 for the 35.7M CIFAR U-Net) never exists. For
+    models that carry a trained LoRA, merge it first (models.lora.lora_merge)
+    since the probe occupies the "lora" collection. Features are
+    attention-projection-only in this mode (the reference's own choice for
+    its SD path, grad_text_to_image_lora.py:776-820).
     """
+    from ...models.lora import lora_collection
+
+    if sketch_probe is not None and params_filter is not None:
+        raise ValueError("sketch_probe and params_filter are exclusive")
     f = _output_fn(output_fn)
     ts = feature_timesteps(spec.num_train_timesteps, num_timesteps, t_strategy)
     ts_arr = jnp.asarray(ts)
+    probe_downs = (
+        {name: ab["down"] for name, ab in sketch_probe.items()}
+        if sketch_probe is not None
+        else None
+    )
+    probe_ups0 = (
+        {name: ab["up"] for name, ab in sketch_probe.items()}
+        if sketch_probe is not None
+        else None
+    )
 
     def per_sample_grad(params, image, noise, t, ehs=None):
+        if sketch_probe is not None:
+
+            def scalar_out(ups):
+                tree = {
+                    name: {"down": probe_downs[name], "up": ups[name]}
+                    for name in ups
+                }
+                variables = {"params": params, "lora": lora_collection(tree)}
+                x_t = add_noise(schedule, image[None], noise[None], t[None])
+                if ehs is not None:
+                    eps = apply_fn(variables, x_t, t[None], ehs[None])
+                else:
+                    eps = apply_fn(variables, x_t, t[None])
+                return f(eps[0], noise[0])
+
+            return jax.grad(scalar_out)(probe_ups0)
+
         if params_filter is not None:
             trainable, merge_fn = params_filter(params)
         else:

@@ -42,6 +42,16 @@ def parse_args(argv=None):
     parser.add_argument("--t_strategy", type=str, default="uniform",
                         choices=["uniform", "cumulative"])
     parser.add_argument("--proj_seed", type=int, default=0)
+    parser.add_argument("--grad_mode", type=str, default="full",
+                        choices=["full", "probe"],
+                        help="probe = Kronecker-probe gradient sketching "
+                             "(attention projections only; per-sample "
+                             "gradients are sketched in the backward pass, "
+                             "never materialized — orders-of-magnitude "
+                             "lighter than full per-sample grads)")
+    parser.add_argument("--sketch_k", type=int, default=64,
+                        help="input-side sketch rows per projection "
+                             "(--grad_mode probe)")
     parser.add_argument("--batch_size", type=int, default=32)
     parser.add_argument("--n_samples", type=int, default=64,
                         help="generated-source sample count")
@@ -103,11 +113,24 @@ def main(argv=None):
         print(f"journey gen_features {feats.shape} -> {args.save_path}")
         return
 
+    sketch_probe = None
+    if args.grad_mode == "probe":
+        from ..models.lora import probe_sketch_init
+
+        sketch_probe = probe_sketch_init(
+            params, k=args.sketch_k, key=jax.random.PRNGKey(args.proj_seed)
+        )
+        if not sketch_probe:
+            raise SystemExit(
+                "--grad_mode probe needs attention projections "
+                "(to_q/to_k/to_v/to_out) in the model; this architecture "
+                "has none"
+            )
     feat_fn = make_grad_feature_fn(
         model.apply, schedule, cfg.scheduler,
         output_fn=args.output_fn, proj_dim=args.proj_dim,
         num_timesteps=args.num_timesteps, t_strategy=args.t_strategy,
-        proj_seed=args.proj_seed,
+        proj_seed=args.proj_seed, sketch_probe=sketch_probe,
     )
 
     if args.source == "train":

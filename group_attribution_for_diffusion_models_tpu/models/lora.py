@@ -123,6 +123,41 @@ def lora_collection(lora_tree: Mapping) -> Dict:
     return nested
 
 
+def probe_sketch_init(
+    params: Mapping,
+    k: int = 64,
+    key: Optional[jax.Array] = None,
+    targets: Sequence[str] = DEFAULT_TARGETS,
+) -> Dict[str, Dict[str, jnp.ndarray]]:
+    """LoRA-shaped tree for GRADIENT SKETCHING, not adaptation.
+
+    down is a FIXED Rademacher matrix (in, k)/sqrt(k) — an input-side JL
+    sketch; up = 0 keeps the forward pass bit-identical. Differentiating a
+    loss wrt ONLY the up leaves yields, per layer, (x @ down)^T @ dL/dy =
+    down^T @ grad_kernel — a k-row sketch of the dense kernel's gradient
+    that autodiff computes WITHOUT ever materializing the (in, out)
+    per-sample gradient (the memory wall of vmapped per-sample grads; same
+    idea as LoGra-style low-rank gradient projection). Used by
+    attributions.methods.trak.make_grad_feature_fn(sketch_probe=...).
+    """
+    key = key if key is not None else jax.random.PRNGKey(0)
+    tree: Dict[str, Dict[str, jnp.ndarray]] = {}
+    for path in _iter_dense_paths(params, targets):
+        kernel = _get(params, path)["kernel"]
+        d_in, d_out = kernel.shape
+        kk = min(k, d_in)
+        key, sub = jax.random.split(key)
+        down = (
+            jax.random.rademacher(sub, (d_in, kk), dtype=jnp.float32)
+            / np.sqrt(kk)
+        )
+        tree[lora_path_name(path)] = {
+            "down": down,
+            "up": jnp.zeros((kk, d_out)),
+        }
+    return tree
+
+
 def lora_ranks(lora_tree: Mapping) -> Dict[str, int]:
     return {name: int(ab["down"].shape[1]) for name, ab in lora_tree.items()}
 

@@ -134,3 +134,123 @@ def test_jl_pallas_multi_ptile_accumulation():
     )
     # JL preserves norms in expectation; the doubling bug gave ratio ~2.
     assert abs(ratio.mean() - 1.0) < 0.2, ratio
+
+
+ATTN_TINY = UNetSpec(
+    sample_size=8,
+    block_out_channels=(8, 16),
+    down_block_types=("DownBlock2D", "AttnDownBlock2D"),
+    up_block_types=("AttnUpBlock2D", "UpBlock2D"),
+    layers_per_block=1,
+    norm_num_groups=4,
+)
+
+
+def test_probe_sketch_matches_projected_gradient():
+    """The probe path's per-sample 'gradient' must equal down^T @ grad_kernel
+    for every attention projection — the input-side JL sketch computed
+    WITHOUT materializing the full per-sample gradient."""
+    from group_attribution_for_diffusion_models_tpu.diffusion.schedulers import (
+        add_noise,
+    )
+    from group_attribution_for_diffusion_models_tpu.models.lora import (
+        lora_collection,
+        probe_sketch_init,
+    )
+
+    spec = SchedulerSpec()
+    schedule = make_schedule(spec)
+    model = UNet2D(ATTN_TINY)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)), jnp.zeros((1,), jnp.int32)
+    )["params"]
+    probe = probe_sketch_init(params, k=4, key=jax.random.PRNGKey(7))
+    assert probe, "attention projections should be discovered"
+
+    image = jax.random.uniform(jax.random.PRNGKey(1), (8, 8, 3), minval=-1, maxval=1)
+    noise = jax.random.normal(jax.random.PRNGKey(2), (8, 8, 3))
+    t = jnp.array(17, jnp.int32)
+
+    def loss_with(variables):
+        x_t = add_noise(schedule, image[None], noise[None], t[None])
+        eps = variables_apply(variables, x_t)
+        return jnp.mean((eps[0] - noise) ** 2)
+
+    def variables_apply(variables, x_t):
+        return model.apply(variables, x_t, t[None])
+
+    # Probe attachment with up=0 leaves the forward untouched.
+    plain = loss_with({"params": params})
+    downs = {n: ab["down"] for n, ab in probe.items()}
+    ups0 = {n: ab["up"] for n, ab in probe.items()}
+    tree0 = {n: {"down": downs[n], "up": ups0[n]} for n in probe}
+    probed = loss_with({"params": params, "lora": lora_collection(tree0)})
+    np.testing.assert_allclose(float(plain), float(probed), rtol=1e-6)
+
+    # Sketch grads from the probe path.
+    def probe_loss(ups):
+        tree = {n: {"down": downs[n], "up": ups[n]} for n in ups}
+        return loss_with({"params": params, "lora": lora_collection(tree)})
+
+    sketch = jax.grad(probe_loss)(ups0)
+
+    # Explicit full gradient, then project each kernel with its down.
+    full = jax.grad(lambda p: loss_with({"params": p}))(params)
+
+    def get(tree, dotted):
+        node = tree
+        for part in dotted.split("/"):
+            node = node[part]
+        return node
+
+    for name in probe:
+        expected = downs[name].T @ get(full, name)["kernel"]
+        np.testing.assert_allclose(
+            np.asarray(sketch[name]), np.asarray(expected), rtol=2e-4, atol=1e-7
+        )
+
+
+def test_probe_sketch_features_end_to_end():
+    from group_attribution_for_diffusion_models_tpu.models.lora import (
+        probe_sketch_init,
+    )
+
+    spec = SchedulerSpec()
+    schedule = make_schedule(spec)
+    model = UNet2D(ATTN_TINY)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)), jnp.zeros((1,), jnp.int32)
+    )["params"]
+    probe = probe_sketch_init(params, k=4, key=jax.random.PRNGKey(7))
+    feat_fn = make_grad_feature_fn(
+        model.apply, schedule, spec, output_fn="loss", proj_dim=64,
+        num_timesteps=2, sketch_probe=probe,
+    )
+    images = jax.random.uniform(
+        jax.random.PRNGKey(1), (3, 8, 8, 3), minval=-1, maxval=1
+    )
+    f1 = np.asarray(feat_fn(params, images, jax.random.PRNGKey(2)))
+    f2 = np.asarray(feat_fn(params, images, jax.random.PRNGKey(2)))
+    assert f1.shape == (3, 64)
+    np.testing.assert_array_equal(f1, f2)
+    assert np.isfinite(f1).all() and np.abs(f1).sum() > 0
+    assert not np.allclose(f1[0], f1[1])
+
+
+def test_probe_sketch_excludes_params_filter():
+    from group_attribution_for_diffusion_models_tpu.models.lora import (
+        probe_sketch_init,
+    )
+
+    spec = SchedulerSpec()
+    schedule = make_schedule(spec)
+    model = UNet2D(ATTN_TINY)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)), jnp.zeros((1,), jnp.int32)
+    )["params"]
+    probe = probe_sketch_init(params, k=4)
+    with pytest.raises(ValueError, match="exclusive"):
+        make_grad_feature_fn(
+            model.apply, schedule, spec, sketch_probe=probe,
+            params_filter=lambda p: (p, lambda t: t),
+        )
