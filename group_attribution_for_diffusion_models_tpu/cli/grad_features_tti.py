@@ -55,6 +55,15 @@ def parse_args(argv=None):
     parser.add_argument("--t_strategy", type=str, default="uniform",
                         choices=["uniform", "cumulative"])
     parser.add_argument("--proj_seed", type=int, default=0)
+    parser.add_argument("--grad_mode", type=str, default="full",
+                        choices=["full", "probe"],
+                        help="probe = Kronecker-probe gradient sketching of "
+                             "the merged model's attention projections "
+                             "(per-sample grads sketched in the backward, "
+                             "never materialized)")
+    parser.add_argument("--sketch_k", type=int, default=64,
+                        help="input-side sketch rows per projection "
+                             "(--grad_mode probe)")
     parser.add_argument("--batch_size", type=int, default=16)
     parser.add_argument("--n_samples", type=int, default=50)
     parser.add_argument("--num_inference_steps", type=int, default=100)
@@ -156,13 +165,35 @@ def main(argv=None):
         print(f"journey gen_features {feats.shape} -> {args.save_path}")
         return
 
-    feat_fn = make_grad_feature_fn(
-        model.apply, schedule, sched_spec,
-        output_fn=args.output_fn, proj_dim=args.proj_dim,
-        num_timesteps=args.num_timesteps, t_strategy=args.t_strategy,
-        proj_seed=args.proj_seed, params_filter=params_filter,
-        conditional=True,
-    )
+    if args.grad_mode == "probe":
+        # The probe occupies the "lora" collection, so the trained LoRA is
+        # merged into the base first; the sketch then covers every attention
+        # projection of the merged model (a superset of the LoRA-only
+        # feature family, still attention-projections-only like the
+        # reference's own SD path).
+        from ..models.lora import probe_sketch_init
+
+        feat_params = lora_merge(base_params, lora)
+        sketch_probe = probe_sketch_init(
+            feat_params, k=args.sketch_k,
+            key=jax.random.PRNGKey(args.proj_seed),
+        )
+        feat_fn = make_grad_feature_fn(
+            model.apply, schedule, sched_spec,
+            output_fn=args.output_fn, proj_dim=args.proj_dim,
+            num_timesteps=args.num_timesteps, t_strategy=args.t_strategy,
+            proj_seed=args.proj_seed, sketch_probe=sketch_probe,
+            conditional=True,
+        )
+    else:
+        feat_params = (base_params, lora)
+        feat_fn = make_grad_feature_fn(
+            model.apply, schedule, sched_spec,
+            output_fn=args.output_fn, proj_dim=args.proj_dim,
+            num_timesteps=args.num_timesteps, t_strategy=args.t_strategy,
+            proj_seed=args.proj_seed, params_filter=params_filter,
+            conditional=True,
+        )
 
     if args.source == "train":
         if synthetic:  # the trainer's fake channel-mean encode
@@ -226,7 +257,7 @@ def main(argv=None):
         ehs_b = jnp.asarray(ehs_rows[i : i + args.batch_size])
         key = jax.random.fold_in(jax.random.PRNGKey(args.seed), i)
         feats[i : i + args.batch_size] = np.asarray(
-            feat_fn((base_params, lora), batch, key, ehs_b)
+            feat_fn(feat_params, batch, key, ehs_b)
         )
         print(f"{min(i + args.batch_size, len(latents))}/{len(latents)} examples",
               flush=True)

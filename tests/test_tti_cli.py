@@ -186,6 +186,21 @@ def test_grad_features_tti_lora_only(tmp_path):
     traks.main(["--feature_store", store, "--save_dir", save_dir])
     assert os.path.exists(os.path.join(save_dir, "attrs_trak.npy"))
 
+    # Probe sketching: per-sample grads are never materialized; feature
+    # store shape is unchanged.
+    store2 = str(tmp_path / "feats_probe.npz")
+    grad_features_tti.main([
+        "--dataset", "synthetic_32x8", "--outdir", out,
+        "--lora_dir", lora, "--save_path", store2,
+        "--proj_dim", "8", "--num_timesteps", "2", "--batch_size", "8",
+        "--grad_mode", "probe", "--sketch_k", "2",
+        "--source", "train", "--max_examples", "8",
+    ])
+    probe_data = np.load(store2)
+    assert probe_data["train_features"].shape == (8, 8)
+    assert np.isfinite(probe_data["train_features"]).all()
+    assert np.abs(probe_data["train_features"]).sum() > 0
+
 
 def test_counterfactual_removal_training(tmp_path):
     """Counterfactual retrain: remove the top-proportion units by a ranking
