@@ -203,16 +203,47 @@ def make_journey_feature_fn(
     proj_seed: int = 0,
     params_filter: Optional[Callable] = None,
     conditional: bool = False,
+    sketch_probe: Optional[dict] = None,
 ):
     """Journey-TRAK features: gradients at latents captured along the actual
     sampling trajectory (reference d_trak_grad.py:450-494), instead of fresh
     q-sample noisings. Input: trajectory (T, B, ...) + timesteps (T,) from
     diffusion.sampling.sample_with_trajectory; output (B, proj_dim).
-    `params_filter`/`conditional` as in make_grad_feature_fn (the SD LoRA
-    journey path, reference grad_text_to_image_lora.py:729-764)."""
+    `params_filter`/`conditional`/`sketch_probe` as in make_grad_feature_fn
+    (the SD LoRA journey path, reference grad_text_to_image_lora.py:729-764)."""
+    from ...models.lora import lora_collection
+
+    if sketch_probe is not None and params_filter is not None:
+        raise ValueError("sketch_probe and params_filter are exclusive")
     f = _output_fn(output_fn)
+    probe_downs = (
+        {name: ab["down"] for name, ab in sketch_probe.items()}
+        if sketch_probe is not None
+        else None
+    )
+    probe_ups0 = (
+        {name: ab["up"] for name, ab in sketch_probe.items()}
+        if sketch_probe is not None
+        else None
+    )
 
     def per_sample_grad(params, latent, noise, t, ehs=None):
+        if sketch_probe is not None:
+
+            def scalar_out(ups):
+                tree = {
+                    name: {"down": probe_downs[name], "up": ups[name]}
+                    for name in ups
+                }
+                variables = {"params": params, "lora": lora_collection(tree)}
+                if ehs is not None:
+                    eps = apply_fn(variables, latent[None], t[None], ehs[None])
+                else:
+                    eps = apply_fn(variables, latent[None], t[None])
+                return f(eps[0], noise[0])
+
+            return jax.grad(scalar_out)(probe_ups0)
+
         if params_filter is not None:
             trainable, merge_fn = params_filter(params)
         else:
