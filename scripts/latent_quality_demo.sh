@@ -35,8 +35,8 @@ if [ ! -f "$VQW" ]; then
 fi
 
 python -m group_attribution_for_diffusion_models_tpu.cli.shapley_pipeline \
-  --dataset "${DATASET}_ldm" --behavior eval_loss \
+  --dataset "${DATASET}_ldm" --behavior eval_loss --by_class \
   --num_fit_subsets "$FIT" --num_test_subsets "$TEST" \
   --fit_dist "$FIT_DIST" \
-  --training_steps "$STEPS" --chunk_size 16 --log_freq 100 \
+  --training_steps "$STEPS" --batch_size 64 --chunk_size 16 --log_freq 100 \
   --vqvae_weights "$VQW" --outdir "$OUT"
