@@ -254,3 +254,28 @@ def test_probe_sketch_excludes_params_filter():
             model.apply, schedule, spec, sketch_probe=probe,
             params_filter=lambda p: (p, lambda t: t),
         )
+
+
+def test_probe_sketch_journey_features():
+    from group_attribution_for_diffusion_models_tpu.models.lora import (
+        probe_sketch_init,
+    )
+    from group_attribution_for_diffusion_models_tpu.attributions.methods.trak import (
+        make_journey_feature_fn,
+    )
+
+    spec = SchedulerSpec()
+    schedule = make_schedule(spec)
+    model = UNet2D(ATTN_TINY)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)), jnp.zeros((1,), jnp.int32)
+    )["params"]
+    probe = probe_sketch_init(params, k=4, key=jax.random.PRNGKey(7))
+    fn = make_journey_feature_fn(
+        model.apply, schedule, spec, proj_dim=32, sketch_probe=probe
+    )
+    traj = jax.random.normal(jax.random.PRNGKey(1), (2, 3, 8, 8, 3))
+    ts = jnp.array([5, 1], jnp.int32)
+    feats = np.asarray(fn(params, traj, ts, jax.random.PRNGKey(2)))
+    assert feats.shape == (3, 32)
+    assert np.isfinite(feats).all() and np.abs(feats).sum() > 0
