@@ -95,11 +95,22 @@ def load_test_data(args) -> List[Tuple[np.ndarray, np.ndarray]]:
 
 
 def run_lds(args, removal_dist: str, fit):
-    """Fit at growing sizes, print LDS lines, optionally save attributions."""
+    """Fit at growing sizes, print LDS lines, optionally save attributions.
+
+    Rows from the antithetic *_paired variant of `removal_dist` are pooled
+    into the fit: they are marginally identical draws of the same kernel
+    (data/removal.py::remove_data_by_shapley_paired)."""
+    import numpy as _np
+
+    parts = []
+    for dist in (removal_dist, f"{removal_dist}_paired"):
+        cond = {"removal_dist": dist, "method": args.method}
+        parts.append(collect_group_data(
+            args.train_db, cond, args.num_groups, args.model_behavior_key
+        ))
+    masks = _np.concatenate([p[0] for p in parts], axis=0)
+    behaviors = _np.concatenate([p[1] for p in parts], axis=0)
     cond = {"removal_dist": removal_dist, "method": args.method}
-    masks, behaviors, _ = collect_group_data(
-        args.train_db, cond, args.num_groups, args.model_behavior_key
-    )
     if len(masks) == 0:
         raise SystemExit(f"no rows matched {cond} in {args.train_db}")
     test_data = load_test_data(args)
