@@ -79,7 +79,8 @@ def parse_args(argv=None):
     parser.add_argument("--method", type=str, default="retrain",
                         choices=["retrain", "pruned_ft", "gd", "sparse_gd"])
     parser.add_argument("--removal_dist", type=str, default="shapley",
-                        choices=["uniform", "datamodel", "shapley", "loo",
+                        choices=["uniform", "uniform_paired", "datamodel",
+                                 "shapley", "shapley_paired", "loo",
                                  "aoi", "full", "counterfactual"])
     parser.add_argument("--removal_seed", type=int, default=0)
     parser.add_argument("--num_seeds", type=int, default=1,
