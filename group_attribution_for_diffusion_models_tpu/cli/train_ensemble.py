@@ -92,6 +92,15 @@ def parse_args(argv=None):
         "(ground-truth Shapley).",
     )
     parser.add_argument("--save_ckpts", action="store_true", default=True)
+    parser.add_argument("--independent_noise", action="store_true",
+                        default=False,
+                        help="per-member independent init/noise draws. "
+                        "Default is COMMON random numbers (every member "
+                        "shares init + per-step timestep/noise draws, like "
+                        "the reference's fixed-seed SLURM jobs) — subsets "
+                        "then differ only through data composition, which "
+                        "collapses retrain-noise variance in behavior "
+                        "comparisons")
     parser.add_argument("--log_freq", type=int, default=0,
                         help="tracker log interval in steps (0 = only final; "
                              "each log forces one host sync)")
@@ -265,6 +274,7 @@ def main(argv=None):
         member_indices=member_indices,
         batch_size=min(batch_size, min(len(m) for m in member_indices)),
         mesh=mesh,
+        common_noise=not args.independent_noise,
     )
 
     if args.load:

@@ -223,3 +223,43 @@ def test_remat_policy_matches_in_scanned_ensemble():
         )
         losses[policy] = np.asarray(metrics["loss"])
     np.testing.assert_allclose(losses[None], losses["convs"], rtol=1e-5, atol=1e-6)
+
+
+def test_common_noise_identical_subsets_identical_members():
+    """CRN property: with common_noise, members differ ONLY through data —
+    identical subsets must produce bit-identical trained members."""
+    spec = SchedulerSpec()
+    schedule = make_schedule(spec)
+    model = UNet2D(TINY)
+    ds = make_synthetic(n=32, size=8)
+    images_u8 = ((ds.images + 1.0) * 127.5).astype(np.uint8)
+    subset = sample_removal("shapley", 32, seed=0)[0]
+    other = sample_removal("shapley", 32, seed=1)[0]
+    trainer = EnsembleTrainer(
+        apply_fn=model.apply,
+        tx=make_optimizer("adam", lr=1e-3),
+        schedule=schedule,
+        spec=spec,
+        images_u8=images_u8,
+        member_indices=[subset, subset, other],
+        batch_size=4,
+        common_noise=True,
+    )
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)), jnp.zeros((1,), jnp.int32)
+    )["params"]
+
+    def init_fn(key):
+        return model.init(key, jnp.zeros((1, 8, 8, 3)), jnp.zeros((1,), jnp.int32))["params"]
+
+    state, _ = trainer.run_scanned(
+        trainer.init_state(init_fn=init_fn, seed=3), 3, seed=5
+    )
+    p0 = jax.tree_util.tree_leaves(unstack_state(state, 0).params)
+    p1 = jax.tree_util.tree_leaves(unstack_state(state, 1).params)
+    p2 = jax.tree_util.tree_leaves(unstack_state(state, 2).params)
+    for a, b in zip(p0, p1):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert any(
+        not np.array_equal(np.asarray(a), np.asarray(c)) for a, c in zip(p0, p2)
+    )
