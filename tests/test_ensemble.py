@@ -263,3 +263,42 @@ def test_common_noise_identical_subsets_identical_members():
     assert any(
         not np.array_equal(np.asarray(a), np.asarray(c)) for a, c in zip(p0, p2)
     )
+
+
+@pytest.mark.xfail(
+    reason="XLA:CPU SPMD anomaly: the vmapped UNet train step computes "
+    "materially different values (~1%% loss shift, member-row-dependent) "
+    "when the ensemble axis is sharded over virtual CPU devices — identical "
+    "members then diverge even under common_noise. Unsharded execution is "
+    "exact (test_common_noise_identical_subsets_identical_members). Repro "
+    "narrowed to value_and_grad of the full UNet under pjit sharding; "
+    "forward-only and small subnets are clean. Real single-chip TPU runs "
+    "never build a mesh and are unaffected.",
+    strict=False,
+)
+def test_common_noise_holds_under_ensemble_mesh():
+    spec = SchedulerSpec()
+    schedule = make_schedule(spec)
+    model = UNet2D(TINY)
+    ds = make_synthetic(n=64, size=8)
+    images_u8 = ((ds.images + 1.0) * 127.5).astype(np.uint8)
+    subset = sample_removal("shapley", 64, seed=0)[0]
+    others = [sample_removal("shapley", 64, seed=s)[0] for s in range(1, 15)]
+    mesh = make_mesh((2, 1), ("ensemble", "data"), devices=jax.devices()[:2])
+    trainer = EnsembleTrainer(
+        apply_fn=model.apply,
+        tx=make_optimizer("adam", lr=1e-3),
+        schedule=schedule,
+        spec=spec,
+        images_u8=images_u8,
+        member_indices=[subset, subset] + others,
+        batch_size=8,
+        common_noise=True,
+        mesh=mesh,
+    )
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)), jnp.zeros((1,), jnp.int32)
+    )["params"]
+    state, m = trainer.run_scanned(trainer.init_state(params=params), 2, seed=5)
+    losses = np.asarray(m["loss"])
+    np.testing.assert_array_equal(losses[:, 0], losses[:, 1])
