@@ -378,12 +378,45 @@ def main(argv=None):
         jit_kwargs["in_shardings"] = (sh_r, sh_r, sh_r, sh_r, sh_e, sh_e, None)
         jit_kwargs["out_shardings"] = (sh_e, sh_e, sh_e)
 
-    @functools.partial(jax.jit, **jit_kwargs)
-    def ensemble_step(base, lat_all, emb_all, emb_idx, stacked, opt_st, key):
-        keys = jax.random.split(key, len(seeds))
-        return jax.vmap(
-            member_step, in_axes=(None, None, None, None, 0, 0, 0, 0, 0)
-        )(base, lat_all, emb_all, emb_idx, stacked, opt_st, table_j, sizes_j, keys)
+        # Explicit shard_map over the ensemble axis (not GSPMD auto-sharding):
+        # each device runs the same program a smaller unsharded ensemble
+        # would, with per-member keys split globally and sliced by shard — so
+        # a member's training stream is identical no matter the mesh width,
+        # and the XLA:CPU anomaly where auto-partitioned value_and_grad
+        # computed member-row-dependent values cannot occur (see
+        # parallel/ensemble.py and tests/test_ensemble.py).
+        local_nm = len(seeds) // e_axis
+
+        def _ensemble_step(base, lat_all, emb_all, emb_idx, stacked, opt_st, key):
+            def shard_body(base, lat_all, emb_all, emb_idx, stacked, opt_st,
+                           table, sizes, key):
+                member0 = jax.lax.axis_index("ensemble") * local_nm
+                keys = jax.random.split(key[0], len(seeds))
+                keys = jax.lax.dynamic_slice_in_dim(keys, member0, local_nm)
+                return jax.vmap(
+                    member_step, in_axes=(None, None, None, None, 0, 0, 0, 0, 0)
+                )(base, lat_all, emb_all, emb_idx, stacked, opt_st,
+                  table, sizes, keys)
+
+            return jax.shard_map(
+                shard_body,
+                mesh=mesh,
+                in_specs=(P(), P(), P(), P(), P("ensemble"), P("ensemble"),
+                          P("ensemble"), P("ensemble"), P(None)),
+                out_specs=(P("ensemble"), P("ensemble"), P("ensemble")),
+                check_vma=False,
+            )(base, lat_all, emb_all, emb_idx, stacked, opt_st,
+              table_j, sizes_j, key[None])
+
+        ensemble_step = jax.jit(_ensemble_step, **jit_kwargs)
+    else:
+
+        @functools.partial(jax.jit, **jit_kwargs)
+        def ensemble_step(base, lat_all, emb_all, emb_idx, stacked, opt_st, key):
+            keys = jax.random.split(key, len(seeds))
+            return jax.vmap(
+                member_step, in_axes=(None, None, None, None, 0, 0, 0, 0, 0)
+            )(base, lat_all, emb_all, emb_idx, stacked, opt_st, table_j, sizes_j, keys)
 
     from .common import tracker_for
 

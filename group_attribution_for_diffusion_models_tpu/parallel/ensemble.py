@@ -142,6 +142,35 @@ class EnsembleTrainer:
         if self._images.dtype != jnp.uint8 and self._images.dtype != jnp.float32:
             raise ValueError("images must be uint8 or float32")
 
+        ens_size = (
+            self.mesh.shape["ensemble"]
+            if self.mesh is not None and "ensemble" in self.mesh.axis_names
+            else 1
+        )
+        data_size = (
+            self.mesh.shape["data"]
+            if self.mesh is not None and "data" in self.mesh.axis_names
+            else 1
+        )
+        use_shard_map = self.mesh is not None
+        if self.mesh is not None and (
+            self.num_members % max(ens_size, 1)
+            or self.batch_size % max(data_size, 1)
+            or any(a not in ("ensemble", "data") for a in self.mesh.axis_names)
+        ):
+            import warnings
+
+            warnings.warn(
+                f"EnsembleTrainer: {self.num_members} members / batch "
+                f"{self.batch_size} do not divide the mesh "
+                f"{dict(self.mesh.shape)}; falling back to GSPMD "
+                "auto-sharding (per-member determinism not guaranteed — see "
+                "tests/test_ensemble.py::test_common_noise_holds_under_"
+                "ensemble_mesh history)",
+                stacklevel=3,
+            )
+            use_shard_map = False
+
         member_step = make_train_step(
             self.apply_fn,
             self.tx,
@@ -149,48 +178,92 @@ class EnsembleTrainer:
             self.spec,
             ema_max_decay=self.ema_max_decay,
             ema_power=self.ema_power,
-        )
-
-        has_data_axis = (
-            self.mesh is not None
-            and "data" in self.mesh.axis_names
-            and self.mesh.shape["data"] > 1
+            pmean_axis="data" if (use_shard_map and data_size > 1) else None,
         )
 
         # Data tables enter as jit ARGUMENTS, not closure constants: captured
         # arrays are serialized into the HLO (huge compile payloads and
         # recompiles when they change).
-        def ensemble_step(
-            stacked: TrainState,
-            key: jax.Array,
-            images: jnp.ndarray,
-            table: jnp.ndarray,
-            sizes: jnp.ndarray,
-        ):
+        def local_step(stacked, key, images, table, sizes, member0):
+            """Step `local_nm` members whose global ids start at `member0`.
+
+            Runs both unsharded (local_nm == num_members, member0 == 0) and as
+            the per-shard body under shard_map. Key derivation is global —
+            per-member keys are split for the FULL ensemble and sliced — so a
+            member's noise/timestep/index stream is identical no matter how
+            the ensemble is laid out across devices.
+            """
+            local_nm = sizes.shape[0]
             if self.common_noise:
                 k2 = jax.random.split(key, 2)
-                k_idx = jnp.broadcast_to(k2[0], (self.num_members,) + k2[0].shape)
-                k_step = jnp.broadcast_to(k2[1], (self.num_members,) + k2[1].shape)
+                k_idx = jnp.broadcast_to(k2[0], (local_nm,) + k2[0].shape)
+                k_step = jnp.broadcast_to(k2[1], (local_nm,) + k2[1].shape)
             else:
                 keys = jax.random.split(key, self.num_members)
+                keys = jax.lax.dynamic_slice_in_dim(keys, member0, local_nm)
                 member_keys = jax.vmap(jax.random.split)(keys)
                 k_idx, k_step = member_keys[:, 0], member_keys[:, 1]
             # Per-member on-device batch index draw (uniform over the member's
-            # true subset via the cyclic-padded table).
+            # true subset via the cyclic-padded table). Always the full batch
+            # draw; a >1 data axis slices its shard below, so the examples a
+            # member trains on do not depend on the data-parallel width.
             slot = jax.vmap(
                 lambda k, size: jax.random.randint(k, (self.batch_size,), 0, size)
             )(k_idx, sizes)
+            if data_size > 1:
+                d = jax.lax.axis_index("data")
+                local_bs = self.batch_size // data_size
+                slot = jax.lax.dynamic_slice_in_dim(
+                    slot, d * local_bs, local_bs, axis=1
+                )
+                # Distinct noise/timesteps per data shard (grads pmean over
+                # "data" inside member_step recombine them).
+                k_step = jax.vmap(lambda k: jax.random.fold_in(k, d))(k_step)
             idx = jnp.take_along_axis(table, slot, axis=1)
             batch = images[idx]  # (B, batch, H, W, C)
             if batch.dtype == jnp.uint8:
                 batch = batch.astype(jnp.float32) / 127.5 - 1.0
-            if has_data_axis:
-                from jax.sharding import NamedSharding, PartitionSpec as P
-
-                batch = jax.lax.with_sharding_constraint(
-                    batch, NamedSharding(self.mesh, P("ensemble", "data"))
-                )
             return jax.vmap(member_step)(stacked, batch, k_step)
+
+        if use_shard_map:
+            # Explicit per-device computation: each shard owns whole members
+            # and runs the SAME program a smaller unsharded ensemble would.
+            # This is both the performance layout (zero cross-member
+            # collectives; the only communication is the optional grad pmean
+            # over "data") and the correctness fix for the GSPMD anomaly where
+            # auto-partitioned value_and_grad computed member-row-dependent
+            # values on XLA:CPU (identical members diverged under
+            # common_noise).
+            from jax.sharding import PartitionSpec as P
+
+            local_nm = self.num_members // ens_size
+
+            def ensemble_step(stacked, key, images, table, sizes):
+                def shard_body(stacked, key, images, table, sizes):
+                    member0 = (
+                        jax.lax.axis_index("ensemble") * local_nm
+                        if ens_size > 1
+                        else 0
+                    )
+                    return local_step(
+                        stacked, key[0], images, table, sizes, member0
+                    )
+
+                return jax.shard_map(
+                    shard_body,
+                    mesh=self.mesh,
+                    in_specs=(
+                        P("ensemble"), P(None), P(None),
+                        P("ensemble"), P("ensemble"),
+                    ),
+                    out_specs=(P("ensemble"), P("ensemble")),
+                    check_vma=False,
+                )(stacked, key[None], images, table, sizes)
+
+        else:
+
+            def ensemble_step(stacked, key, images, table, sizes):
+                return local_step(stacked, key, images, table, sizes, 0)
 
         self._ensemble_step_fn = ensemble_step
         self._scan_jit = None
@@ -198,10 +271,6 @@ class EnsembleTrainer:
         # Donating the stacked state lets XLA update parameters/opt state in
         # place instead of double-buffering ~GBs of HBM per step.
         if self.mesh is not None:
-            # Shard stacked state and outputs along the ensemble axis; inputs
-            # other than the state are replicated. With a >1 data axis each
-            # member's batch additionally splits across it and XLA inserts the
-            # gradient psum over "data".
             sh = ensemble_sharding(self.mesh)
             self._step = jax.jit(
                 ensemble_step,

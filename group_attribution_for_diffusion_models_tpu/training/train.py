@@ -60,8 +60,15 @@ def make_train_step(
     ema_inv_gamma: float = 1.0,
     ema_power: float = 0.75,
     use_antithetic: bool = True,
+    pmean_axis: Optional[str] = None,
 ):
-    """Build the jittable train step for a model/schedule/optimizer triple."""
+    """Build the jittable train step for a model/schedule/optimizer triple.
+
+    `pmean_axis`: mesh axis name to average loss/grads over before the
+    optimizer update — for manual (shard_map) data parallelism, where each
+    shard computes on its slice of the batch and the psum is explicit
+    instead of inserted by GSPMD.
+    """
 
     def train_step(
         state: TrainState,
@@ -93,6 +100,9 @@ def make_train_step(
             )
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        if pmean_axis is not None:
+            loss = jax.lax.pmean(loss, pmean_axis)
+            grads = jax.lax.pmean(grads, pmean_axis)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
 

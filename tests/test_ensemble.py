@@ -265,18 +265,17 @@ def test_common_noise_identical_subsets_identical_members():
     )
 
 
-@pytest.mark.xfail(
-    reason="XLA:CPU SPMD anomaly: the vmapped UNet train step computes "
-    "materially different values (~1%% loss shift, member-row-dependent) "
-    "when the ensemble axis is sharded over virtual CPU devices — identical "
-    "members then diverge even under common_noise. Unsharded execution is "
-    "exact (test_common_noise_identical_subsets_identical_members). Repro "
-    "narrowed to value_and_grad of the full UNet under pjit sharding; "
-    "forward-only and small subnets are clean. Real single-chip TPU runs "
-    "never build a mesh and are unaffected.",
-    strict=False,
-)
 def test_common_noise_holds_under_ensemble_mesh():
+    """CRN must survive sharding the ensemble axis over devices.
+
+    History: under GSPMD auto-sharding this failed on XLA:CPU — the
+    auto-partitioned value_and_grad of the full UNet computed
+    member-row-dependent values (~1% loss shift), so identical members
+    diverged even under common_noise. EnsembleTrainer now lowers the mesh
+    path through an explicit jax.shard_map (each device runs the same
+    program a smaller unsharded ensemble would), which restores bit-exact
+    member equality; this test keeps it that way.
+    """
     spec = SchedulerSpec()
     schedule = make_schedule(spec)
     model = UNet2D(TINY)
