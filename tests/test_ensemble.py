@@ -301,3 +301,46 @@ def test_common_noise_holds_under_ensemble_mesh():
     state, m = trainer.run_scanned(trainer.init_state(params=params), 2, seed=5)
     losses = np.asarray(m["loss"])
     np.testing.assert_array_equal(losses[:, 0], losses[:, 1])
+
+
+def test_crn_invariant_to_shard_placement_with_data_axis():
+    """Strong shard_map determinism contract on a (2, 2) mesh: a member's
+    training stream is a function of (subset, keys) only — identical-subset
+    members agree bit-for-bit whether they share a shard or sit on different
+    shards, and across the two placements. Also exercises the explicit
+    gradient pmean over the "data" axis."""
+    spec = SchedulerSpec()
+    schedule = make_schedule(spec)
+    model = UNet2D(TINY)
+    ds = make_synthetic(n=64, size=8)
+    images_u8 = ((ds.images + 1.0) * 127.5).astype(np.uint8)
+    subset = sample_removal("shapley", 64, seed=0)[0]
+    others = [sample_removal("shapley", 64, seed=s)[0] for s in range(1, 3)]
+    mesh = make_mesh((2, 2), ("ensemble", "data"), devices=jax.devices()[:4])
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)), jnp.zeros((1,), jnp.int32)
+    )["params"]
+
+    def run(member_indices):
+        trainer = EnsembleTrainer(
+            apply_fn=model.apply,
+            tx=make_optimizer("adam", lr=1e-3),
+            schedule=schedule,
+            spec=spec,
+            images_u8=images_u8,
+            member_indices=member_indices,
+            batch_size=8,
+            common_noise=True,
+            mesh=mesh,
+        )
+        _, m = trainer.run_scanned(trainer.init_state(params=params), 3, seed=5)
+        return np.asarray(m["loss"])
+
+    # Identical pair within one shard (members 0,1 of 4 on a 2-wide axis).
+    within = run([subset, subset] + others)
+    np.testing.assert_array_equal(within[:, 0], within[:, 1])
+    # Identical pair across shards (members 0 and 2).
+    across = run([subset, others[0], subset, others[1]])
+    np.testing.assert_array_equal(across[:, 0], across[:, 2])
+    # And placement does not change the member's stream at all.
+    np.testing.assert_array_equal(within[:, 0], across[:, 0])
