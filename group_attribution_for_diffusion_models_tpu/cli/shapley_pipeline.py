@@ -35,8 +35,14 @@ def parse_args(argv=None):
     add_common_args(parser)
     parser.add_argument("--num_fit_subsets", type=int, default=16)
     parser.add_argument("--fit_dist", type=str, default="shapley",
-                        choices=["shapley", "shapley_paired"],
-                        help="fit-subset sampler; shapley_paired draws "
+                        choices=["shapley", "shapley_paired", "datamodel",
+                                 "uniform", "uniform_paired"],
+                        help="fit-subset sampler + estimator family: "
+                             "shapley[_paired] -> closed-form KernelSHAP, "
+                             "datamodel -> ridge-CV (matched to the alpha="
+                             "0.5 test protocol — unbiased when the game "
+                             "has size-dependent interactions), uniform"
+                             "[_paired] -> Banzhaf. *_paired draws "
                              "antithetic complement pairs (Covert & Lee "
                              "paired sampling — lower estimator variance "
                              "at the same retrain budget)")
@@ -83,7 +89,7 @@ def _train_chunked(args, dist, seed_start, num, db):
             argv += ["--training_steps", str(args.training_steps)]
         if args.batch_size:
             argv += ["--batch_size", str(args.batch_size)]
-        if args.datamodel_alpha and dist == "datamodel":
+        if args.datamodel_alpha and dist.startswith("datamodel"):
             argv += ["--datamodel_alpha", str(args.datamodel_alpha)]
         if args.vqvae_weights:
             argv += ["--vqvae_weights", args.vqvae_weights]
@@ -108,6 +114,16 @@ def main(argv=None):
             f"WARNING: {args.fit_dist} wants an even --removal_seed and "
             f"--num_fit_subsets to form complete antithetic pairs "
             f"(got seed={args.removal_seed}, n={args.num_fit_subsets})"
+        )
+    fit_lo = args.removal_seed
+    fit_hi = fit_lo + args.num_fit_subsets
+    test_lo = args.test_seed_start
+    test_hi = test_lo + args.num_test_subsets
+    if args.fit_dist == "datamodel" and fit_lo < test_hi and test_lo < fit_hi:
+        raise SystemExit(
+            f"--fit_dist datamodel: fit seeds [{fit_lo},{fit_hi}) overlap "
+            f"test seeds [{test_lo},{test_hi}) — the same (dist, seed) rows "
+            f"would appear on both sides; pick a disjoint --removal_seed"
         )
     _train_chunked(args, args.fit_dist, args.removal_seed, args.num_fit_subsets, db)
     _train_chunked(args, "datamodel", args.test_seed_start, args.num_test_subsets, db)
@@ -162,11 +178,14 @@ def main(argv=None):
     else:
         n_units = len(dataset)
 
-    def rows_to_xy(dist):
+    def rows_to_xy(dist, seed_lo, seed_hi):
         rows = filter_records(db, {"dataset": args.dataset, "removal_dist": dist})
         masks, ys = [], []
         for rec in rows:
             if args.behavior not in rec or rec[args.behavior] is None:
+                continue
+            seed = rec.get("removal_seed")
+            if seed is None or not (seed_lo <= int(seed) < seed_hi):
                 continue
             remaining = np.asarray(rec["remaining_idx"], np.int64)
             m = np.zeros(n_units, np.float32)
@@ -179,8 +198,8 @@ def main(argv=None):
         return (np.stack(masks), np.asarray(ys)) if masks else (
             np.zeros((0, n_units)), np.zeros(0))
 
-    x_fit, y_fit = rows_to_xy(args.fit_dist)
-    x_test, y_test = rows_to_xy("datamodel")
+    x_fit, y_fit = rows_to_xy(args.fit_dist, fit_lo, fit_hi)
+    x_test, y_test = rows_to_xy("datamodel", test_lo, test_hi)
     if len(x_fit) < 2 or len(x_test) < 2:
         raise SystemExit(
             f"not enough scored rows (fit {len(x_fit)}, test {len(x_test)})"
@@ -200,7 +219,19 @@ def main(argv=None):
         print("WARNING: missing full/null anchor rows; "
               "falling back to y-range anchors")
         v1, v0 = float(y_fit.max()), float(y_fit.min())
-    attrs = data_shapley(n_units, x_fit, y_fit, v1, v0).ravel()
+    if args.fit_dist in ("shapley", "shapley_paired"):
+        attrs = data_shapley(n_units, x_fit, y_fit, v1, v0).ravel()
+    else:
+        # Matched-distribution estimators (fit dispatch mirrors cli.lds /
+        # reference lds.py:411-445): datamodel -> ridge-CV, uniform ->
+        # Banzhaf. No efficiency constraint — unbiased for the alpha=0.5
+        # LDS protocol even when the game has size-dependent interactions
+        # (see ROADMAP "size-interaction finding").
+        from .lds import fit_attribution
+
+        attrs = fit_attribution(
+            args.fit_dist, x_fit, y_fit, n_units, v1=v1, v0=v0
+        ).ravel()
     lds_mean, lds_ci = evaluate_lds(attrs, [(x_test, y_test)])
     total_time = time.time() - t0
 

@@ -150,6 +150,43 @@ def test_shapley_pipeline_by_class(tmp_path):
     assert attrs.shape[0] == 10
 
 
+def test_pipeline_datamodel_fit_dist(tmp_path):
+    """--fit_dist datamodel: matched-distribution ridge fit (seed-windowed
+    so fit rows [removal_seed, +n) never collide with the datamodel test
+    rows [test_seed_start, +n)), the protocol-consistent LDS estimator for
+    games with size-dependent interactions (ROADMAP size-interaction
+    finding)."""
+    import json
+
+    from group_attribution_for_diffusion_models_tpu.cli import shapley_pipeline
+
+    out = str(tmp_path)
+    shapley_pipeline.main([
+        "--dataset", "synthetic_64x8_mix", "--by_class",
+        "--fit_dist", "datamodel", "--removal_seed", "100",
+        "--num_fit_subsets", "4", "--num_test_subsets", "3",
+        "--training_steps", "2", "--batch_size", "8",
+        "--behavior", "eval_loss", "--chunk_size", "4",
+        "--outdir", out,
+    ])
+    db = os.path.join(out, "synthetic_64x8_mix_pipeline_db.jsonl")
+    rows = [json.loads(l) for l in open(db)]
+    summary = rows[-1]
+    # Fit and test rows are both removal_dist=datamodel but live in
+    # disjoint seed windows; the summary must count them separately.
+    assert summary["num_fit_subsets"] == 4
+    assert summary["num_test_subsets"] == 3
+    seeds = {r["removal_seed"] for r in rows if r.get("removal_dist") == "datamodel"}
+    assert {100, 101, 102, 103}.issubset(seeds) and {42, 43, 44}.issubset(seeds)
+    # Overlapping windows must be rejected up front.
+    with pytest.raises(SystemExit, match="overlap"):
+        shapley_pipeline.main([
+            "--dataset", "synthetic_64x8_mix", "--fit_dist", "datamodel",
+            "--removal_seed", "40", "--num_fit_subsets", "8",
+            "--num_test_subsets", "3", "--outdir", out,
+        ])
+
+
 def test_lds_full_null_db_anchors(tmp_path):
     """--full_db/--null_db anchor the Shapley efficiency constraint on
     measured full/null behaviors (reference lds.py:338-353); with a
