@@ -75,6 +75,11 @@ def _train_enum(args, masks_path, num_masks, db):
             "--outdir", args.outdir, "--db", db, "--n_samples", "0",
             "--eval_loss", "--eval_t_min", str(args.eval_t_min),
             "--log_freq", str(args.log_freq),
+            # Only the behavior rows feed the exact game; skipping the
+            # per-member checkpoint pulls removes the dominant wall-clock
+            # cost of the 2^C-1 enumeration on a remote-relay backend
+            # (resume falls back to DB rows).
+            "--no-save_ckpts",
         ]
         if args.eval_t_max:
             argv += ["--eval_t_max", str(args.eval_t_max)]
@@ -134,6 +139,7 @@ def main(argv=None):
         "--num_seeds", "1", "--outdir", args.outdir, "--db", db,
         "--training_steps", "0", "--n_samples", "0",
         "--eval_loss", "--eval_t_min", str(args.eval_t_min),
+        "--no-save_ckpts",
     ]
     if args.eval_t_max:
         null_argv += ["--eval_t_max", str(args.eval_t_max)]

@@ -91,7 +91,15 @@ def parse_args(argv=None):
         "Use with --removal_dist enum for exhaustive subset enumeration "
         "(ground-truth Shapley).",
     )
-    parser.add_argument("--save_ckpts", action="store_true", default=True)
+    parser.add_argument(
+        "--save_ckpts", action=argparse.BooleanOptionalAction, default=True,
+        help="save an orbax checkpoint per member (default). "
+        "--no-save_ckpts skips the per-member device->host state pulls — "
+        "the dominant cost of mass sweeps whose product is the behavior "
+        "DB row, e.g. exhaustive ground-truth enumeration; idempotent "
+        "resume then falls back to existing DB rows instead of checkpoint "
+        "files.",
+    )
     parser.add_argument("--independent_noise", action="store_true",
                         default=False,
                         help="per-member independent init/noise draws. "
@@ -124,10 +132,12 @@ def main(argv=None):
 
     dataset = create_dataset(args.dataset, train=True)
     seeds = list(range(args.seed_start, args.seed_start + args.num_seeds))
+    db = args.db or os.path.join(args.outdir, f"{args.dataset}_train_db.jsonl")
 
     # Idempotence: members whose final checkpoint already exists are skipped
     # (the sweep-level recovery contract; reference
     # train_text_to_image_lora.py:649-657, find_incomplete_trainings.py).
+    # Under --no-save_ckpts the DB row is the completion record instead.
     def _done(seed: int) -> bool:
         from ..utils.ckpt import get_max_steps
 
@@ -136,7 +146,19 @@ def main(argv=None):
             args.datamodel_alpha if args.removal_dist == "datamodel" else None,
         )
         latest = get_max_steps(d)
-        return latest is not None and latest >= training_steps
+        if latest is not None and latest >= training_steps:
+            return True
+        if not args.save_ckpts and os.path.exists(db):
+            from ..utils import filter_records
+
+            for rec in filter_records(db, {
+                "dataset": args.dataset, "method": args.method,
+                "removal_dist": args.removal_dist, "removal_seed": seed,
+            }):
+                if rec.get("training_steps") in (training_steps,
+                                                 args.training_steps):
+                    return True
+        return False
 
     skipped = [s for s in seeds if _done(s)]
     seeds = [s for s in seeds if s not in skipped]
@@ -381,9 +403,7 @@ def main(argv=None):
         sample_time = time.time() - t_start
         print(f"sampled {samples.shape} in {sample_time:.1f}s")
 
-    db = args.db or os.path.join(args.outdir, f"{args.dataset}_train_db.jsonl")
     for m, seed in enumerate(seeds):
-        member_state = jax.tree_util.tree_map(np.asarray, unstack_state(state, m))
         remaining_idx, removed_idx = removals[m]
         model_dir = model_output_dir(
             args.outdir, args.dataset, args.method, args.removal_dist, seed,
@@ -391,6 +411,12 @@ def main(argv=None):
         )
         save_removal_indices(model_dir, remaining_idx, removed_idx)
         if args.save_ckpts:
+            # The device->host pull of the member's full state lives inside
+            # this branch: it is the dominant per-member cost on a remote
+            # relay and pure waste when only the DB row is wanted.
+            member_state = jax.tree_util.tree_map(
+                np.asarray, unstack_state(state, m)
+            )
             save_checkpoint(
                 model_dir, training_steps, member_state, remaining_idx,
                 removed_idx, train_time / len(seeds), unet_spec=spec,
