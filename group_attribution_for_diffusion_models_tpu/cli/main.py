@@ -63,6 +63,16 @@ def parse_args(argv=None):
     parser.add_argument("--ema_max_decay", type=float, default=0.9999)
     parser.add_argument("--ema_power", type=float, default=0.75)
     parser.add_argument("--no_antithetic", action="store_true", default=False)
+    parser.add_argument(
+        "--scan_chunk", type=int, default=0,
+        help="on-device fast path: keep the subset resident and lax.scan up "
+        "to N train steps per dispatch (chunks break at log/sample/ckpt "
+        "boundaries). Per-step noise/timestep keys match the default loop "
+        "exactly; batch selection becomes uniform-with-replacement on "
+        "device instead of host-side shuffled epochs (statistically "
+        "equivalent, not bit-identical). Unconditional methods only. "
+        "0 = per-step dispatch (reference-faithful default).",
+    )
     parser.add_argument("--keep_all_ckpts", action="store_true", default=False)
     parser.add_argument("--precompute_stage", type=str, default="reuse",
                         choices=["none", "save", "reuse"],
@@ -188,14 +198,13 @@ def main(argv=None):
     total_steps_time = float(meta.get("total_steps_time", 0.0))
 
     schedule = make_schedule(cfg.scheduler)
-    step_fn = jax.jit(
-        make_train_step(
-            model.apply, tx, schedule, cfg.scheduler,
-            conditional=spec.conditional,
-            ema_max_decay=args.ema_max_decay, ema_power=args.ema_power,
-            use_antithetic=not args.no_antithetic,
-        )
+    train_step_fn = make_train_step(
+        model.apply, tx, schedule, cfg.scheduler,
+        conditional=spec.conditional,
+        ema_max_decay=args.ema_max_decay, ema_power=args.ema_power,
+        use_antithetic=not args.no_antithetic,
     )
+    step_fn = jax.jit(train_step_fn)
 
     # Conditional workloads (imagenette LDM text-to-image): per-class caption
     # embeddings via the captioner + CLIP text tower, indexed by batch label
@@ -309,41 +318,104 @@ def main(argv=None):
 
     from ..utils.profiling import trace
 
+    use_scan = bool(args.scan_chunk)
+    if use_scan and class_emb is not None:
+        print("WARNING: --scan_chunk does not support conditional training; "
+              "falling back to the per-step loop", flush=True)
+        use_scan = False
+
+    def log_metrics(metrics, step, t_start):
+        el = time.time() - t_start
+        print(
+            f"Step[{step}/{training_steps}] loss={float(metrics['loss']):.5f} "
+            f"grad_norm={float(metrics['grad_norm']):.4f} "
+            f"steps_time={el:.1f}s",
+            flush=True,
+        )
+        tracker.log(
+            {"loss": float(metrics["loss"]),
+             "grad_norm": float(metrics["grad_norm"]),
+             "steps_time": el},
+            step,
+        )
+
     t_start = time.time()
     metrics = {}
-    with trace(args.profile_dir):
-        for step_i in range(start_step, training_steps):
-            images, labels = next(batches)
-            ehs = class_emb[jnp.asarray(labels)] if class_emb is not None else None
-            state, metrics = step_fn(
-                state, jnp.asarray(images),
-                jax.random.PRNGKey(args.opt_seed * 1_000_003 + step_i),
-                encoder_hidden_states=ehs,
-            )
-            if (step_i + 1) % args.log_freq == 0 or step_i + 1 == training_steps:
-                el = time.time() - t_start
-                print(
-                    f"Step[{step_i + 1}/{training_steps}] loss={float(metrics['loss']):.5f} "
-                    f"grad_norm={float(metrics['grad_norm']):.4f} "
-                    f"steps_time={el:.1f}s",
-                    flush=True,
+    if use_scan:
+        # On-device fast path: the subset stays resident, batch indices are
+        # drawn on device (uniform with replacement), and up to --scan_chunk
+        # steps run per dispatch as a lax.scan — the per-step host round
+        # trip and H2D batch copy (the wall on remote-relay backends, and a
+        # real tax even locally) disappear. Per-step PRNG keys are the
+        # default loop's exact sequence, so noise/timestep draws match;
+        # only batch COMPOSITION differs (with-replacement vs host-side
+        # shuffled epochs — the ensemble trainer's semantics,
+        # parallel/ensemble.py).
+        images_dev = jnp.asarray(subset.images)
+        n_sub = len(subset)
+        eff_batch = min(batch_size, n_sub)
+
+        def scan_steps(state, seeds, images):
+            def body(st, seed):
+                key = jax.random.PRNGKey(seed)
+                k_b = jax.random.fold_in(key, 0x5CA9)
+                idx = jax.random.randint(k_b, (eff_batch,), 0, n_sub)
+                return train_step_fn(st, images[idx], key)
+
+            return jax.lax.scan(body, state, seeds)
+
+        scan_jit = jax.jit(scan_steps, donate_argnums=0)
+
+        with trace(args.profile_dir):
+            step_i = start_step
+            while step_i < training_steps:
+                nxt = training_steps
+                for f in (args.log_freq, sample_freq or 0, ckpt_freq):
+                    if f:
+                        nxt = min(nxt, (step_i // f + 1) * f)
+                n = min(nxt - step_i, max(args.scan_chunk, 1))
+                seeds = jnp.asarray(
+                    [(args.opt_seed * 1_000_003 + s) % (1 << 32)
+                     for s in range(step_i, step_i + n)],
+                    jnp.uint32,
                 )
-                tracker.log(
-                    {"loss": float(metrics["loss"]),
-                     "grad_norm": float(metrics["grad_norm"]),
-                     "steps_time": el},
-                    step_i + 1,
+                state, ms = scan_jit(state, seeds, images_dev)
+                metrics = {k: v[-1] for k, v in ms.items()}
+                step_i += n
+                if step_i % args.log_freq == 0 or step_i == training_steps:
+                    log_metrics(metrics, step_i, t_start)
+                if sample_freq and step_i % sample_freq == 0:
+                    t_s = time.time()
+                    save_sample_grid(state, step_i)
+                    sampling_time += time.time() - t_s
+                if step_i % ckpt_freq == 0 or step_i == training_steps:
+                    save_checkpoint(
+                        model_dir, step_i, state, remaining_idx, removed_idx,
+                        total_steps_time + (time.time() - t_start) - sampling_time,
+                        unet_spec=spec,
+                    )
+    else:
+        with trace(args.profile_dir):
+            for step_i in range(start_step, training_steps):
+                images, labels = next(batches)
+                ehs = class_emb[jnp.asarray(labels)] if class_emb is not None else None
+                state, metrics = step_fn(
+                    state, jnp.asarray(images),
+                    jax.random.PRNGKey(args.opt_seed * 1_000_003 + step_i),
+                    encoder_hidden_states=ehs,
                 )
-            if sample_freq and (step_i + 1) % sample_freq == 0:
-                t_s = time.time()
-                save_sample_grid(state, step_i + 1)
-                sampling_time += time.time() - t_s
-            if (step_i + 1) % ckpt_freq == 0 or step_i + 1 == training_steps:
-                save_checkpoint(
-                    model_dir, step_i + 1, state, remaining_idx, removed_idx,
-                    total_steps_time + (time.time() - t_start) - sampling_time,
-                    unet_spec=spec,
-                )
+                if (step_i + 1) % args.log_freq == 0 or step_i + 1 == training_steps:
+                    log_metrics(metrics, step_i + 1, t_start)
+                if sample_freq and (step_i + 1) % sample_freq == 0:
+                    t_s = time.time()
+                    save_sample_grid(state, step_i + 1)
+                    sampling_time += time.time() - t_s
+                if (step_i + 1) % ckpt_freq == 0 or step_i + 1 == training_steps:
+                    save_checkpoint(
+                        model_dir, step_i + 1, state, remaining_idx, removed_idx,
+                        total_steps_time + (time.time() - t_start) - sampling_time,
+                        unet_spec=spec,
+                    )
     total_steps_time += time.time() - t_start - sampling_time
     tracker.finish()
 

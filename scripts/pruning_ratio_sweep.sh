@@ -36,11 +36,20 @@ if [ ! -d "$FULL_DIR" ]; then
 fi
 
 # 2) Retrain baseline rows: N matched Shapley subsets, full budget.
-python -m $PKG.cli.train_ensemble \
-  --dataset "$DATASET" --removal_dist shapley --num_seeds "$N" \
-  --training_steps "$RETRAIN_STEPS" --batch_size "$BATCH" \
-  --eval_loss --eval_t_min 100 --eval_t_max 600 \
-  --outdir "$OUT" --db "$DB" --log_freq 100
+# Chunked CHUNK members per compiled program (HBM envelope) and without
+# per-member checkpoints (only the behavior rows feed the fidelity report).
+CHUNK=${CHUNK:-16}
+START=0
+while [ "$START" -lt "$N" ]; do
+  NS=$((N - START < CHUNK ? N - START : CHUNK))
+  python -m $PKG.cli.train_ensemble \
+    --dataset "$DATASET" --removal_dist shapley \
+    --seed_start "$START" --num_seeds "$NS" \
+    --training_steps "$RETRAIN_STEPS" --batch_size "$BATCH" \
+    --eval_loss --eval_t_min 100 --eval_t_max 600 --no-save_ckpts \
+    --outdir "$OUT" --db "$DB" --log_freq 100
+  START=$((START + NS))
+done
 
 # 3) Per ratio: prune -> sparse-FT the same subsets -> fidelity + runtime.
 for R in $RATIOS; do
@@ -52,12 +61,18 @@ for R in $RATIOS; do
       --dataset "$DATASET" --load "$FULL_DIR" --pruning_ratio "$R" \
       --pruner magnitude --outdir "$ROUT"
   fi
-  python -m $PKG.cli.train_ensemble \
-    --dataset "$DATASET" --method prune_fine_tune --removal_dist shapley \
-    --num_seeds "$N" --training_steps "$SFT_STEPS" --batch_size "$BATCH" \
-    --eval_loss --eval_t_min 100 --eval_t_max 600 \
-    --load "$PRUNE_DIR" --outdir "$ROUT" --db "$ROUT/db.jsonl" \
-    --log_freq 100
+  START=0
+  while [ "$START" -lt "$N" ]; do
+    NS=$((N - START < CHUNK ? N - START : CHUNK))
+    python -m $PKG.cli.train_ensemble \
+      --dataset "$DATASET" --method prune_fine_tune --removal_dist shapley \
+      --seed_start "$START" --num_seeds "$NS" \
+      --training_steps "$SFT_STEPS" --batch_size "$BATCH" \
+      --eval_loss --eval_t_min 100 --eval_t_max 600 --no-save_ckpts \
+      --load "$PRUNE_DIR" --outdir "$ROUT" --db "$ROUT/db.jsonl" \
+      --log_freq 100
+    START=$((START + NS))
+  done
   cat "$DB" "$ROUT/db.jsonl" > "$ROUT/merged.jsonl"
   echo "=== ratio $R fidelity ==="
   python -m $PKG.cli.empirical_verification \

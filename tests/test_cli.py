@@ -150,6 +150,31 @@ def test_shapley_pipeline_by_class(tmp_path):
     assert attrs.shape[0] == 10
 
 
+def test_main_scan_chunk_fast_path(tmp_path):
+    """--scan_chunk: device-resident lax.scan training with host events
+    (log/sample/ckpt) firing at their exact step boundaries."""
+    from group_attribution_for_diffusion_models_tpu.cli import main as train_main
+
+    out = str(tmp_path)
+    db = os.path.join(out, "db.jsonl")
+    train_main.main([
+        "--dataset", "synthetic_64x8", "--method", "retrain",
+        "--removal_dist", "shapley", "--removal_seed", "0",
+        "--outdir", out, "--training_steps", "12", "--log_freq", "4",
+        "--sample_freq", "6", "--scan_chunk", "5", "--db", db,
+    ])
+    model_dir = os.path.join(
+        out, "synthetic_64x8", "retrain", "models", "shapley", "shapley_seed=0"
+    )
+    samples = sorted(os.listdir(os.path.join(model_dir, "samples")))
+    assert samples == ["steps_00000006.png", "steps_00000012.png"]
+    rows = list(read_records(db))
+    assert len(rows) == 1 and np.isfinite(rows[0]["loss"])
+    from group_attribution_for_diffusion_models_tpu.utils.ckpt import get_max_steps
+
+    assert get_max_steps(model_dir) == 12
+
+
 def test_pipeline_datamodel_fit_dist(tmp_path):
     """--fit_dist datamodel: matched-distribution ridge fit (seed-windowed
     so fit rows [removal_seed, +n) never collide with the datamodel test
