@@ -70,7 +70,8 @@ def parse_args(argv=None):
         "boundaries). Per-step noise/timestep keys match the default loop "
         "exactly; batch selection becomes uniform-with-replacement on "
         "device instead of host-side shuffled epochs (statistically "
-        "equivalent, not bit-identical). Unconditional methods only. "
+        "equivalent, not bit-identical); conditional runs gather their "
+        "class caption embeddings on device too. "
         "0 = per-step dispatch (reference-faithful default).",
     )
     parser.add_argument("--keep_all_ckpts", action="store_true", default=False)
@@ -319,10 +320,6 @@ def main(argv=None):
     from ..utils.profiling import trace
 
     use_scan = bool(args.scan_chunk)
-    if use_scan and class_emb is not None:
-        print("WARNING: --scan_chunk does not support conditional training; "
-              "falling back to the per-step loop", flush=True)
-        use_scan = False
 
     def log_metrics(metrics, step, t_start):
         el = time.time() - t_start
@@ -352,15 +349,20 @@ def main(argv=None):
         # shuffled epochs — the ensemble trainer's semantics,
         # parallel/ensemble.py).
         images_dev = jnp.asarray(subset.images)
+        labels_dev = jnp.asarray(subset.labels)
+        emb_dev = class_emb  # (num_classes, 77, width) or None
         n_sub = len(subset)
         eff_batch = min(batch_size, n_sub)
 
-        def scan_steps(state, seeds, images):
+        def scan_steps(state, seeds, images, labels, emb):
             def body(st, seed):
                 key = jax.random.PRNGKey(seed)
                 k_b = jax.random.fold_in(key, 0x5CA9)
                 idx = jax.random.randint(k_b, (eff_batch,), 0, n_sub)
-                return train_step_fn(st, images[idx], key)
+                ehs = emb[labels[idx]] if emb is not None else None
+                return train_step_fn(
+                    st, images[idx], key, encoder_hidden_states=ehs
+                )
 
             return jax.lax.scan(body, state, seeds)
 
@@ -379,7 +381,9 @@ def main(argv=None):
                      for s in range(step_i, step_i + n)],
                     jnp.uint32,
                 )
-                state, ms = scan_jit(state, seeds, images_dev)
+                state, ms = scan_jit(
+                    state, seeds, images_dev, labels_dev, emb_dev
+                )
                 metrics = {k: v[-1] for k, v in ms.items()}
                 step_i += n
                 if step_i % args.log_freq == 0 or step_i == training_steps:

@@ -32,7 +32,7 @@ if [ ! -d "$FULL_DIR" ]; then
   python -m $PKG.cli.main \
     --dataset "$DATASET" --method retrain --removal_dist full \
     --outdir "$OUT" --training_steps "$RETRAIN_STEPS" --db "$DB" \
-    --log_freq 200
+    --log_freq 200 --scan_chunk 100
 fi
 
 # 2) Retrain baseline rows: N matched Shapley subsets, full budget.
