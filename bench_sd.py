@@ -57,7 +57,10 @@ SCAN_CHUNK = int(os.environ.get("SD_SCAN_CHUNK", "25"))
 REMAT = os.environ.get("SD_REMAT", "1") == "1"
 # Selective remat: "full" (recompute whole blocks), "convs" (save 3x3 conv
 # outputs, recompute the rest), "convs_dots" (also save dense projections).
-REMAT_POLICY = os.environ.get("SD_REMAT_POLICY", "full")
+# Default "convs": saving the tagged 3x3-conv outputs instead of
+# recomputing whole blocks measured 40.52 passes/h vs 39.49 for full-block
+# remat (same chip, same day; v5e, 4 members x batch 64).
+REMAT_POLICY = os.environ.get("SD_REMAT_POLICY", "convs")
 BASELINE_PASSES_PER_HOUR = 3600.0 / 646.0  # reference sparse-gd total
 
 
