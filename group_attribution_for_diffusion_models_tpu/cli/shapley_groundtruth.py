@@ -227,6 +227,10 @@ def main(argv=None):
         "exp_name": args.exp_name or "shapley_groundtruth",
         "dataset": args.dataset,
         "removal_dist": "groundtruth_summary",
+        # Full invocation args: the exact Shapley values of a fixed-budget
+        # game are sensitive to training/eval settings (and even backend
+        # arithmetic), so a summary without them is not reproducible.
+        "args": {k: v for k, v in vars(args).items()},
         "n_classes": n_classes,
         "num_enumerated": num_masks,
         "v1": v1,
