@@ -151,13 +151,26 @@ def main(argv=None):
         if not args.save_ckpts and os.path.exists(db):
             from ..utils import filter_records
 
-            for rec in filter_records(db, {
+            # Match on every arg that changes the row's value, not just the
+            # subset identity: a sweep with a different datamodel alpha or
+            # eval-t band sharing this DB must NOT satisfy the completion
+            # check (it would skip the retrain and later abort with missing
+            # subset values).
+            cond = {
                 "dataset": args.dataset, "method": args.method,
                 "removal_dist": args.removal_dist, "removal_seed": seed,
-            }):
-                if rec.get("training_steps") in (training_steps,
-                                                 args.training_steps):
-                    return True
+            }
+            if args.removal_dist == "datamodel":
+                cond["datamodel_alpha"] = args.datamodel_alpha
+            for rec in filter_records(db, cond):
+                if rec.get("training_steps") not in (training_steps,
+                                                     args.training_steps):
+                    continue
+                if (rec.get("eval_t_min", args.eval_t_min) != args.eval_t_min
+                        or rec.get("eval_t_max", args.eval_t_max)
+                        != args.eval_t_max):
+                    continue
+                return True
         return False
 
     skipped = [s for s in seeds if _done(s)]

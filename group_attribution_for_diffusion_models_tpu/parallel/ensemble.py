@@ -154,22 +154,28 @@ class EnsembleTrainer:
         )
         use_shard_map = self.mesh is not None
         if self.mesh is not None and (
-            self.num_members % max(ens_size, 1)
+            "ensemble" not in self.mesh.axis_names
+            or self.num_members % max(ens_size, 1)
             or self.batch_size % max(data_size, 1)
             or any(a not in ("ensemble", "data") for a in self.mesh.axis_names)
         ):
             import warnings
 
             warnings.warn(
-                f"EnsembleTrainer: {self.num_members} members / batch "
-                f"{self.batch_size} do not divide the mesh "
-                f"{dict(self.mesh.shape)}; falling back to GSPMD "
-                "auto-sharding (per-member determinism not guaranteed — see "
-                "tests/test_ensemble.py::test_common_noise_holds_under_"
-                "ensemble_mesh history)",
+                f"EnsembleTrainer: mesh {dict(self.mesh.shape)} does not fit "
+                f"{self.num_members} members / batch {self.batch_size} "
+                "(missing 'ensemble' axis or non-divisible); falling back to "
+                "GSPMD auto-sharding with data-axis parallelism disabled "
+                "(per-member determinism not guaranteed — see tests/"
+                "test_ensemble.py::test_common_noise_holds_under_ensemble_mesh "
+                "history)",
                 stacklevel=3,
             )
             use_shard_map = False
+            # The fallback traces local_step outside shard_map, where
+            # lax.axis_index("data") is unbound — run it data-unsliced
+            # (full batch per member; GSPMD may still auto-shard the math).
+            data_size = 1
 
         member_step = make_train_step(
             self.apply_fn,
@@ -270,8 +276,15 @@ class EnsembleTrainer:
 
         # Donating the stacked state lets XLA update parameters/opt state in
         # place instead of double-buffering ~GBs of HBM per step.
-        if self.mesh is not None:
-            sh = ensemble_sharding(self.mesh)
+        # A mesh without an "ensemble" axis can't express the stacked-state
+        # sharding; the fallback runs as a plain donated jit instead.
+        self._sharding = (
+            ensemble_sharding(self.mesh)
+            if self.mesh is not None and "ensemble" in self.mesh.axis_names
+            else None
+        )
+        if self._sharding is not None:
+            sh = self._sharding
             self._step = jax.jit(
                 ensemble_step,
                 in_shardings=(sh, None, None, None, None),
@@ -292,8 +305,8 @@ class EnsembleTrainer:
             params, self.tx, self.num_members,
             init_keys=keys if init_fn is not None else None, init_fn=init_fn,
         )
-        if self.mesh is not None:
-            stacked = jax.device_put(stacked, ensemble_sharding(self.mesh))
+        if self._sharding is not None:
+            stacked = jax.device_put(stacked, self._sharding)
         return stacked
 
     def step(self, stacked: TrainState, key: jax.Array):
@@ -337,8 +350,8 @@ class EnsembleTrainer:
 
                 return jax.lax.scan(body, stacked, keys)
 
-            if self.mesh is not None:
-                sh = ensemble_sharding(self.mesh)
+            if self._sharding is not None:
+                sh = self._sharding
                 self._scan_jit = jax.jit(
                     scan_chunk,
                     in_shardings=(sh, None, None, None, None),

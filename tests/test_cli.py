@@ -412,3 +412,39 @@ def test_train_ensemble_loads_pruned_spec(tmp_path):
     rows = list(read_records(db))
     assert len(rows) == 2
     assert all(r["method"] == "prune_fine_tune" for r in rows)
+
+
+def test_no_save_ckpts_resume_keyed_on_alpha_and_eval_band(tmp_path, capsys):
+    """ADVICE r2 (low): --no-save_ckpts DB-row resume must not let rows from a
+    differently-configured sweep (other datamodel alpha / eval-t band) satisfy
+    the completion check — that silently skipped retrains and broke downstream
+    'missing subset values' lookups."""
+    from group_attribution_for_diffusion_models_tpu.cli import train_ensemble
+    from group_attribution_for_diffusion_models_tpu.utils import read_records
+
+    outdir = str(tmp_path)
+    db = os.path.join(outdir, "db.jsonl")
+    base = [
+        "--dataset", DATASET, "--removal_dist", "datamodel",
+        "--seed_start", "0", "--num_seeds", "2", "--training_steps", "2",
+        "--outdir", outdir, "--db", db, "--batch_size", "8",
+        "--no-save_ckpts",
+    ]
+    train_ensemble.main(base + ["--datamodel_alpha", "0.5"])
+    n0 = len(list(read_records(db)))
+    assert n0 == 2
+
+    # Same seeds, different alpha: must retrain (2 new rows), not skip.
+    train_ensemble.main(base + ["--datamodel_alpha", "0.25"])
+    assert len(list(read_records(db))) == n0 + 2
+
+    # Same alpha again: now it must skip (idempotent resume still works).
+    train_ensemble.main(base + ["--datamodel_alpha", "0.5"])
+    assert len(list(read_records(db))) == n0 + 2
+
+    # Different eval band: must retrain.
+    train_ensemble.main(
+        base + ["--datamodel_alpha", "0.5", "--eval_t_min", "100",
+                "--eval_t_max", "200"]
+    )
+    assert len(list(read_records(db))) == n0 + 4
