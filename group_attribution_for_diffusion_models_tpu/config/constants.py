@@ -30,6 +30,7 @@ DATASET = [
     "cifar2",
     "cifar100",
     "cifar100_f",
+    "cifar100_new",
     "celeba",
     "imagenette",
 ]

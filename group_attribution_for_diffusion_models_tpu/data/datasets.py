@@ -211,22 +211,24 @@ def _cifar100_imbalanced(
 
 
 def cifar100_regroup(
-    features: np.ndarray, labels: np.ndarray, num_groups: int = 40, seed: int = 42
+    features: np.ndarray, num_groups: int = 40, seed: int = 0
 ) -> np.ndarray:
-    """K-means regrouping of classes into pseudo-groups by mean class feature.
+    """K-means regrouping of PER-IMAGE features into pseudo-groups.
 
-    Reference CIFAR100_regroup + apply_clustering (src/datasets.py:121-271)
-    cluster ResNet-18 class-mean embeddings into ``num_groups`` groups. Here
-    the feature extractor is pluggable: pass any (N, D) per-image features.
-    Returns the per-image pseudo-group labels.
+    Reference CIFAR100_regroup.apply_clustering (src/datasets.py:198-235)
+    embeds every image with pretrained ResNet-18 and k-means the IMAGES
+    (not class means) into ``num_groups`` groups with
+    ``KMeans(n_clusters=40, random_state=0)`` — so a pseudo-group can split
+    an original class. The feature extractor is pluggable: pass any (N, D)
+    per-image features (models.resnet.resnet18_embed reproduces the
+    reference's tower + preprocessing). Returns per-image group labels.
     """
     from sklearn.cluster import KMeans
 
-    classes = np.unique(labels)
-    class_means = np.stack([features[labels == c].mean(axis=0) for c in classes])
-    km = KMeans(n_clusters=num_groups, random_state=seed, n_init=10).fit(class_means)
-    class_to_group = {c: g for c, g in zip(classes.tolist(), km.labels_.tolist())}
-    return np.asarray([class_to_group[c] for c in labels.tolist()], dtype=np.int64)
+    km = KMeans(n_clusters=num_groups, random_state=seed, n_init=10).fit(
+        np.asarray(features)
+    )
+    return np.asarray(km.labels_, dtype=np.int64)
 
 
 # --- Synthetic (test/bench) -------------------------------------------------
@@ -352,6 +354,36 @@ def create_dataset(
         x, y = _load_cifar100_raw(root, train)
         x, y = _cifar100_imbalanced(x, y)
         return ArrayDataset(_normalize(x), y)
+    if dataset_name == "cifar100_new":
+        # Reference CIFAR100_regroup ("cifar100_new", src/datasets.py:121-235,
+        # 472-477): animal classes, then per-image ResNet-18 embeddings
+        # k-means'd into 40 pseudo-groups; the group labels are cached next
+        # to the data exactly like the reference's cifar100_new_targets.pkl.
+        x, y = _load_cifar100_raw(root, train)
+        x, _ = _cifar100_animals(x, y)
+        cache = os.path.join(root, "cifar100_new_targets.npy")
+        if os.path.exists(cache):
+            groups = np.load(cache)
+            if len(groups) != len(x):
+                raise ValueError(
+                    f"{cache} holds {len(groups)} targets for {len(x)} images"
+                )
+        else:
+            weights = os.environ.get("GADM_RESNET18_WEIGHTS")
+            if not weights:
+                raise ValueError(
+                    "cifar100_new needs per-image ResNet-18 group labels: "
+                    f"no cache at {cache} and GADM_RESNET18_WEIGHTS is unset "
+                    "(convert torchvision resnet18 via cli.convert_weights "
+                    "--kind resnet18)"
+                )
+            from ..models.resnet import resnet18_embed, unflatten_npz
+
+            variables = unflatten_npz(np.load(weights))
+            feats = resnet18_embed(variables, (_normalize(x) + 1.0) / 2.0)
+            groups = cifar100_regroup(feats, num_groups=40, seed=0)
+            np.save(cache, groups)
+        return ArrayDataset(_normalize(x), groups.astype(np.int64))
     if dataset_name == "mnist":
         x, y = _load_mnist_raw(root, train)
         # Pad 28->32 with -1 (black) so the U-Net sample_size=32 applies.

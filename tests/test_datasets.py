@@ -117,20 +117,20 @@ def test_celeba_groups_from_csv(fake_root):
     assert ds.names is not None and ds.names[0] == "img_0.png"
 
 
-def test_cifar100_regroup_clusters_classes():
+def test_cifar100_regroup_clusters_per_image():
+    """Per-IMAGE k-means (reference apply_clustering, src/datasets.py:198-235):
+    images sharing a feature cluster land in one pseudo-group, regardless of
+    original class boundaries."""
     rng = np.random.RandomState(0)
-    # 4 well-separated class-mean clusters over 8 classes.
     labels = np.repeat(np.arange(8), 5)
     centers = np.repeat(np.eye(4) * 10.0, 2, axis=0)  # classes 2k,2k+1 share
     feats = centers[labels] + rng.normal(scale=0.01, size=(40, 4))
-    groups = cifar100_regroup(feats, labels, num_groups=4)
+    groups = cifar100_regroup(feats, num_groups=4, seed=0)
     assert groups.shape == (40,)
-    # Classes sharing a center land in the same pseudo-group; others differ.
     by_class = {c: groups[labels == c][0] for c in range(8)}
     for c in range(0, 8, 2):
         assert by_class[c] == by_class[c + 1]
     assert len({v for v in by_class.values()}) == 4
-    # Group labels are constant within a class.
     for c in range(8):
         assert len(set(groups[labels == c])) == 1
 
