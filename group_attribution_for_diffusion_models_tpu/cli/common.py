@@ -215,14 +215,18 @@ def add_sd_pretrained_args(parser: argparse.ArgumentParser) -> None:
                              "(required with --text_encoder_weights)")
 
 
-def validated_text_params(text, weights_path: str):
-    """Load converted CLIP text params, failing loudly on a tower mismatch."""
+def validated_text_params(text, weights_path: str, loader=None):
+    """Load converted text-encoder params, failing loudly on a tower mismatch.
+
+    `loader` defaults to the CLIP text loader; the imagenette LDMBert path
+    passes models.ldm_bert.load_ldm_bert."""
     import jax
     import jax.numpy as jnp
 
-    from ..models.clip_text import load_clip_text
+    if loader is None:
+        from ..models.clip_text import load_clip_text as loader
 
-    params = load_clip_text(weights_path)
+    params = loader(weights_path)
     probe = jax.eval_shape(
         lambda: text.init(jax.random.PRNGKey(0), jnp.zeros((1, 77), jnp.int32))
     )["params"]
@@ -236,9 +240,10 @@ def validated_text_params(text, weights_path: str):
     want, got = _flat_shapes(probe), _flat_shapes(params)
     if want != got:
         diff = sorted(set(want.items()) ^ set(got.items()))[:8]
+        width = getattr(text, "width", None) or getattr(text, "d_model", "?")
         raise SystemExit(
-            f"--text_encoder_weights does not match the {text.width}-wide "
-            f"text tower; first mismatches: {diff}"
+            f"--text_encoder_weights does not match the {width}-wide "
+            f"{type(text).__name__} text tower; first mismatches: {diff}"
         )
     return params
 

@@ -52,7 +52,7 @@ def parse_args(argv=None):
     parser.add_argument("--kind", type=str, required=True,
                         choices=["unet", "inception", "clip_text",
                                  "clip_vision", "blip_vision", "vqvae",
-                                 "aesthetic", "resnet18"])
+                                 "aesthetic", "resnet18", "ldm_bert"])
     parser.add_argument("--src", type=str, required=True,
                         help="torch checkpoint / safetensors file")
     parser.add_argument("--dst", type=str, required=True)
@@ -122,6 +122,13 @@ def main(argv=None):
 
         os.makedirs(os.path.dirname(os.path.abspath(args.dst)), exist_ok=True)
         np.save(args.dst, convert_blip_vision_state_dict(sd))
+    elif args.kind == "ldm_bert":
+        # LDMBertModel (ldm-text2im-large-256 pipeline.bert) -> .npz for
+        # cli.main --text_encoder_weights on the imagenette path.
+        from ..models.ldm_bert import convert_ldm_bert_state_dict
+
+        os.makedirs(os.path.dirname(os.path.abspath(args.dst)), exist_ok=True)
+        np.savez(args.dst, **_flatten(convert_ldm_bert_state_dict(sd)))
     elif args.kind == "resnet18":
         # torchvision resnet18 state dict -> .npz variables for the
         # cifar100_new regroup pathway (reference src/datasets.py:198-235).

@@ -79,10 +79,16 @@ def parse_args(argv=None):
                         choices=["none", "save", "reuse"],
                         help="VQ-VAE latent precompute mode for LDM datasets "
                              "(reference main.py:490-546)")
+    parser.add_argument("--text_encoder_kind", type=str, default="ldm_bert",
+                        choices=["ldm_bert", "clip"],
+                        help="conditional text tower: 'ldm_bert' is the "
+                             "reference's imagenette encoder (pipeline.bert "
+                             "of ldm-text2im-large-256, src/diffusion_utils"
+                             ".py:215-223); 'clip' keeps the CLIP substitute")
     parser.add_argument("--text_encoder_weights", type=str, default=None,
-                        help="converted CLIP text params (.npz from "
-                             "cli.convert_weights clip_text, or a torch "
-                             "state-dict file) for conditional datasets")
+                        help="converted text-encoder params (.npz from "
+                             "cli.convert_weights ldm_bert / clip_text, or a "
+                             "torch state-dict file) for conditional datasets")
     parser.add_argument("--tokenizer_dir", type=str, default=None,
                         help="dir with CLIP vocab.json + merges.txt for the "
                              "real BPE tokenizer (required with "
@@ -212,20 +218,41 @@ def main(argv=None):
     # (reference main.py:666-670 captioner/text_encoder path).
     class_emb = None
     if spec.conditional:
-        from ..models.clip_text import CLIPTextEncoder, load_tokenizer
         from ..pipelines import ImagenetteCaptioner
 
         captioner = ImagenetteCaptioner()
         width = spec.cross_attention_dim
-        text = CLIPTextEncoder(
-            width=width,
-            layers=12 if width >= 768 else 2,
-            heads=12 if width % 12 == 0 else max(width // 16, 1),
-        )
+        if args.text_encoder_kind == "ldm_bert":
+            # The reference's imagenette pipeline conditions on the LDMBert
+            # encoder of CompVis/ldm-text2im-large-256 (pipeline.bert,
+            # reference src/diffusion_utils.py:215-223). Full-size spec at
+            # the real cross-attention width; a shrunk 2-layer tower for
+            # smoke-size synthetic conditional configs.
+            from ..models.ldm_bert import LDMBertEncoder, load_ldm_bert
+
+            text = LDMBertEncoder(
+                d_model=width,
+                layers=32 if width >= 1280 else 2,
+                num_heads=8,
+                head_dim=64 if width >= 1280 else max(width // 8, 4),
+                ffn_dim=width * 4,
+            )
+            text_loader = load_ldm_bert
+        else:
+            from ..models.clip_text import CLIPTextEncoder, load_clip_text
+
+            text = CLIPTextEncoder(
+                width=width,
+                layers=12 if width >= 768 else 2,
+                heads=12 if width % 12 == 0 else max(width // 16, 1),
+            )
+            text_loader = load_clip_text
         if args.text_encoder_weights:
             from .common import validated_text_params
 
-            text_params = validated_text_params(text, args.text_encoder_weights)
+            text_params = validated_text_params(
+                text, args.text_encoder_weights, loader=text_loader
+            )
             print(f"loaded text encoder weights from {args.text_encoder_weights}")
         elif args.random_text_encoder:
             print(
@@ -240,16 +267,26 @@ def main(argv=None):
             raise SystemExit(
                 f"dataset {args.dataset!r} is prompt-conditional: pass "
                 "--text_encoder_weights <converted .npz / torch state dict> "
-                "(see cli.convert_weights clip_text), or opt in to a random "
-                "encoder with --random_text_encoder"
+                "(see cli.convert_weights ldm_bert / clip_text), or opt in "
+                "to a random encoder with --random_text_encoder"
             )
         if args.text_encoder_weights and not args.tokenizer_dir:
             raise SystemExit(
                 "--text_encoder_weights needs --tokenizer_dir "
-                "(vocab.json + merges.txt): hash-tokenized prompts would "
-                "index the real embedding table with arbitrary ids"
+                "(vocab.txt for ldm_bert, vocab.json + merges.txt for clip): "
+                "hash-tokenized prompts would index the real embedding "
+                "table with arbitrary ids"
             )
-        tokenize = load_tokenizer(args.tokenizer_dir)
+        if args.text_encoder_kind == "ldm_bert" and args.tokenizer_dir:
+            # The LDM text2im pipeline tokenizes with an uncased
+            # BertTokenizer (WordPiece over vocab.txt), not CLIP BPE.
+            from ..models.bert_tokenizer import BertWordPieceTokenizer
+
+            tokenize = BertWordPieceTokenizer.from_dir(args.tokenizer_dir)
+        else:
+            from ..models.clip_text import load_tokenizer
+
+            tokenize = load_tokenizer(args.tokenizer_dir)
         n_cls = max(int(dataset.labels.max()) + 1, 1)
         prompts = captioner(
             [i % captioner.num_classes for i in range(n_cls)]

@@ -297,7 +297,10 @@ IMAGENETTE = WorkloadConfig(
         downsample_padding=1,
         flip_sin_to_cos=True,
         freq_shift=0.0,
-        cross_attention_dim=768,
+        # ldm-text2im-large-256 conditions on its LDMBert encoder's
+        # d_model=1280 hidden states (reference src/diffusion_utils.py:
+        # 215-223), so converted real checkpoints load shape-exact.
+        cross_attention_dim=1280,
     ),
     scheduler=SchedulerSpec(
         kind="ddim",

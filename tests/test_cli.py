@@ -320,6 +320,7 @@ def test_conditional_requires_text_encoder_weights(tmp_path):
         CLIPTextEncoder,
     )
 
+    argv = argv + ["--text_encoder_kind", "clip"]  # CLIP-shaped weights below
     spec = config_for(cond).unet
     w = spec.cross_attention_dim
     text = CLIPTextEncoder(width=w, layers=12 if w >= 768 else 2,
@@ -448,3 +449,55 @@ def test_no_save_ckpts_resume_keyed_on_alpha_and_eval_band(tmp_path, capsys):
                 "--eval_t_max", "200"]
     )
     assert len(list(read_records(db))) == n0 + 4
+
+
+def test_conditional_ldm_bert_text_encoder(tmp_path):
+    """The reference-faithful imagenette encoder: converted LDMBert weights +
+    a BERT WordPiece vocab drive the conditional trainer end to end
+    (reference src/diffusion_utils.py:215-223)."""
+    import jax
+    import jax.numpy as jnp
+
+    from group_attribution_for_diffusion_models_tpu.cli import main as train_main
+    from group_attribution_for_diffusion_models_tpu.cli.common import config_for
+    from group_attribution_for_diffusion_models_tpu.models.ldm_bert import (
+        LDMBertEncoder,
+    )
+
+    cond = "synthetic_64x8_cond"
+    w = config_for(cond).unet.cross_attention_dim
+    text = LDMBertEncoder(
+        d_model=w, layers=2, num_heads=8, head_dim=max(w // 8, 4),
+        ffn_dim=w * 4,
+    )
+    params = text.init(jax.random.PRNGKey(0), jnp.zeros((1, 77), jnp.int32))
+    flat = {}
+
+    def _rec(node, pre):
+        for k, v in node.items():
+            if isinstance(v, dict):
+                _rec(v, pre + [k])
+            else:
+                flat["/".join(pre + [k])] = np.asarray(v)
+
+    _rec(params["params"], [])
+    weights = tmp_path / "ldm_bert.npz"
+    np.savez(weights, **flat)
+
+    vocab_dir = tmp_path / "bert_vocab"
+    vocab_dir.mkdir()
+    (vocab_dir / "vocab.txt").write_text(
+        "\n".join(["[PAD]", "[UNK]", "[CLS]", "[SEP]", "a", "photo", "of",
+                   "class"]) + "\n"
+    )
+
+    train_main.main([
+        "--dataset", cond, "--method", "retrain", "--removal_dist", "full",
+        "--outdir", str(tmp_path), "--training_steps", "2",
+        "--db", str(tmp_path / "db.jsonl"),
+        "--text_encoder_kind", "ldm_bert",
+        "--text_encoder_weights", str(weights),
+        "--tokenizer_dir", str(vocab_dir),
+    ])
+    model_dir = os.path.join(str(tmp_path), cond, "retrain", "models", "full")
+    assert any(n.startswith("ckpt_steps_") for n in os.listdir(model_dir))
