@@ -43,12 +43,17 @@ def parse_args(argv=None):
                         choices=["uniform", "cumulative"])
     parser.add_argument("--proj_seed", type=int, default=0)
     parser.add_argument("--grad_mode", type=str, default="full",
-                        choices=["full", "probe"],
+                        choices=["full", "probe", "attn_full"],
                         help="probe = Kronecker-probe gradient sketching "
                              "(attention projections only; per-sample "
                              "gradients are sketched in the backward pass, "
                              "never materialized — orders-of-magnitude "
-                             "lighter than full per-sample grads)")
+                             "lighter than full per-sample grads); "
+                             "attn_full = exact per-sample grads restricted "
+                             "to the same attention projections (the "
+                             "apples-to-apples baseline for probe, and the "
+                             "reference's own SD feature choice, "
+                             "grad_text_to_image_lora.py:776-820)")
     parser.add_argument("--sketch_k", type=int, default=64,
                         help="input-side sketch rows per projection "
                              "(--grad_mode probe)")
@@ -114,6 +119,7 @@ def main(argv=None):
         return
 
     sketch_probe = None
+    params_filter = None
     if args.grad_mode == "probe":
         from ..models.lora import probe_sketch_init
 
@@ -126,11 +132,22 @@ def main(argv=None):
                 "(to_q/to_k/to_v/to_out) in the model; this architecture "
                 "has none"
             )
+    elif args.grad_mode == "attn_full":
+        from ..models.lora import attention_params_filter
+
+        params_filter = attention_params_filter(params)
+        if params_filter is None:
+            raise SystemExit(
+                "--grad_mode attn_full needs attention projections "
+                "(to_q/to_k/to_v/to_out) in the model; this architecture "
+                "has none"
+            )
     feat_fn = make_grad_feature_fn(
         model.apply, schedule, cfg.scheduler,
         output_fn=args.output_fn, proj_dim=args.proj_dim,
         num_timesteps=args.num_timesteps, t_strategy=args.t_strategy,
         proj_seed=args.proj_seed, sketch_probe=sketch_probe,
+        params_filter=params_filter,
     )
 
     if args.source == "train":

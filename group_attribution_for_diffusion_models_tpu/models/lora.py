@@ -158,6 +158,33 @@ def probe_sketch_init(
     return tree
 
 
+def attention_params_filter(params: Mapping, targets: Sequence[str] = DEFAULT_TARGETS):
+    """(trainable, merge_fn) restricting grads to attention-projection kernels.
+
+    The params_filter contract of attributions.methods.trak.
+    make_grad_feature_fn: EXACT per-sample gradients over the same kernels
+    probe sketching sees (to_q/to_k/to_v/to_out, incl. biases) — the
+    apples-to-apples baseline for the sketch, and the reference's own SD
+    feature choice (grad_text_to_image_lora.py:776-820). Returns None when
+    the architecture has no attention projections."""
+    paths = _iter_dense_paths(params, targets)
+    if not paths:
+        return None
+
+    def filter_fn(p):
+        trainable = {lora_path_name(path): _get(p, path) for path in paths}
+
+        def merge(tr):
+            out = p
+            for path in paths:
+                out = _set(out, path, tr[lora_path_name(path)])
+            return out
+
+        return trainable, merge
+
+    return filter_fn
+
+
 def lora_ranks(lora_tree: Mapping) -> Dict[str, int]:
     return {name: int(ab["down"].shape[1]) for name, ab in lora_tree.items()}
 
