@@ -380,16 +380,37 @@ def main(argv=None):
         )
         noise_fixed = jax.random.normal(k_n, probe.shape)
 
-        @jax.jit
         def member_eval(params, probe, noise, t):
             x_t = add_noise(schedule_e, probe, noise, t)
             eps = model.apply({"params": params}, x_t, t)
             return jnp.mean((eps - noise) ** 2)
 
-        eval_losses = np.asarray(
-            jax.vmap(member_eval, in_axes=(0, None, None, None))(
-                state.ema_params, probe, noise_fixed, t_fixed
+        def eval_members(ema, probe, noise, t):
+            return jax.vmap(member_eval, in_axes=(0, None, None, None))(
+                ema, probe, noise, t
             )
+
+        if mesh is not None:
+            from jax.sharding import PartitionSpec as P
+
+            # Explicit shard_map, NOT GSPMD auto-sharding: the multi-chip
+            # dryrun's full-pass layout check caught the auto-partitioned
+            # vmapped forward computing ~5e-4-relative different eval losses
+            # on the virtual CPU mesh with BIT-IDENTICAL ema params — the
+            # same anomaly class as the train-step fix in parallel/ensemble.py
+            # (there it was value_and_grad; the behavior rows LDS fits on
+            # must not depend on the mesh layout either).
+            eval_jit = jax.jit(
+                lambda ema, pr, no, tt: jax.shard_map(
+                    eval_members, mesh=mesh,
+                    in_specs=(P("ensemble"), P(), P(), P()),
+                    out_specs=P("ensemble"), check_vma=False,
+                )(ema, pr, no, tt)
+            )
+        else:
+            eval_jit = jax.jit(eval_members)
+        eval_losses = np.asarray(
+            eval_jit(state.ema_params, probe, noise_fixed, t_fixed)
         )
         print(f"eval losses: {eval_losses.round(5).tolist()}")
 
@@ -398,9 +419,7 @@ def main(argv=None):
         shape = (args.n_samples, spec.sample_size, spec.sample_size, spec.in_channels)
         schedule = make_schedule(cfg.scheduler)
 
-        @jax.jit
-        def ensemble_sample(stacked_params, key):
-            keys = jax.random.split(key, len(seeds))
+        def sample_members(stacked_params, keys):
             return jax.vmap(
                 lambda p, k: sample_loop(
                     model.apply, p, schedule, cfg.scheduler, shape, k,
@@ -408,6 +427,27 @@ def main(argv=None):
                     decode_fn=decode_fn,
                 )
             )(stacked_params, keys)
+
+        if mesh is not None:
+            from jax.sharding import PartitionSpec as P
+
+            # shard_map for the same reason as the eval above: member keys
+            # split globally, sliced per shard via the in_spec, so samples
+            # are mesh-layout-invariant.
+            @jax.jit
+            def ensemble_sample(stacked_params, key):
+                keys = jax.random.split(key, len(seeds))
+                return jax.shard_map(
+                    sample_members, mesh=mesh,
+                    in_specs=(P("ensemble"), P("ensemble")),
+                    out_specs=P("ensemble"), check_vma=False,
+                )(stacked_params, keys)
+        else:
+
+            @jax.jit
+            def ensemble_sample(stacked_params, key):
+                keys = jax.random.split(key, len(seeds))
+                return sample_members(stacked_params, keys)
 
         t_start = time.time()
         samples = np.asarray(

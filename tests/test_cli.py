@@ -501,3 +501,45 @@ def test_conditional_ldm_bert_text_encoder(tmp_path):
     ])
     model_dir = os.path.join(str(tmp_path), cond, "retrain", "models", "full")
     assert any(n.startswith("ckpt_steps_") for n in os.listdir(model_dir))
+
+
+def test_train_ensemble_eval_layout_invariant(tmp_path):
+    """Behavior rows must not depend on the device-mesh layout.
+
+    Regression for a real GSPMD anomaly the multi-chip full-pass dryrun
+    caught: with BIT-IDENTICAL ema params, the eval loss computed by a
+    vmapped forward over the ensemble-SHARDED state under GSPMD
+    auto-partitioning differed by ~5e-4 relative from the unsharded value
+    on the virtual CPU mesh (same anomaly class as the value_and_grad
+    divergence fixed in parallel/ensemble.py). The eval and sampling paths
+    now lower through explicit shard_map; sharded and unsharded runs must
+    agree to float32 ULP level.
+    """
+    import numpy as np
+
+    from group_attribution_for_diffusion_models_tpu.cli import train_ensemble
+    from group_attribution_for_diffusion_models_tpu.utils import read_records
+
+    def run(sub, mesh_ensemble):
+        out = tmp_path / sub
+        train_ensemble.main([
+            "--dataset", "synthetic_64x8", "--removal_dist", "shapley",
+            "--seed_start", "0", "--num_seeds", "4",
+            "--training_steps", "1", "--batch_size", "2",
+            "--eval_loss", "--eval_probe_size", "8",
+            "--n_samples", "2", "--num_inference_steps", "2",
+            "--mesh_ensemble", str(mesh_ensemble), "--mesh_data", "1",
+            "--no-save_ckpts", "--outdir", str(out),
+        ])
+        rows = sorted(
+            read_records(str(out / "synthetic_64x8_train_db.jsonl")),
+            key=lambda r: r["removal_seed"],
+        )
+        assert len(rows) == 4
+        return rows
+
+    rows_mesh = run("mesh", 4)      # one member per device via shard_map
+    rows_plain = run("plain", 1)    # unsharded vmap on one device
+    for a, b in zip(rows_mesh, rows_plain):
+        np.testing.assert_allclose(a["loss"], b["loss"], rtol=1e-6)
+        np.testing.assert_allclose(a["eval_loss"], b["eval_loss"], rtol=1e-6)
