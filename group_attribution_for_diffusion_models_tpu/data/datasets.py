@@ -243,6 +243,7 @@ def make_synthetic(
     heterogeneous: bool = False,
     textured: bool = False,
     templated: bool = False,
+    size_ramp: bool = False,
 ) -> ArrayDataset:
     """Deterministic random dataset for tests and benchmarks.
 
@@ -267,10 +268,26 @@ def make_synthetic(
     attribution QUALITY demos — on `_mix`, class masks explain only ~25% of
     the behavior variance (measured), bounding LDS regardless of estimator
     ("synthetic_<n>x<s>_tpl").
+
+    `size_ramp` draws labels with p(class k) ∝ k+1 instead of uniformly
+    ("synthetic_<n>x<s>_sizes", combinable with the others). This is the
+    knob that GUARANTEES exact-Shapley truth spread under a fixed retrain
+    budget: with equal class sizes, a short-retrain game's value is
+    dominated by |remaining data| — a class-symmetric quantity whose
+    Shapley values are near-uniform no matter how distinct the class
+    CONTENT is (measured: std/|mean| ≈ 2.4% on the balanced c8 template
+    game, docs/groundtruth_chip_c8_summary.json). A K-fold class-size ramp
+    makes even that size effect carry ∝ n_k heterogeneity, so exact values
+    spread ≥ the ramp ratio and correlation against them is no longer
+    noise-dominated (VERDICT round-2 "What's missing" #4).
     """
     rng = np.random.RandomState(seed)
     images = rng.uniform(-1.0, 1.0, size=(n, size, size, channels)).astype(np.float32)
-    labels = rng.randint(0, num_classes, size=n).astype(np.int64)
+    if size_ramp:
+        p = (np.arange(num_classes) + 1).astype(np.float64)
+        labels = rng.choice(num_classes, size=n, p=p / p.sum()).astype(np.int64)
+    else:
+        labels = rng.randint(0, num_classes, size=n).astype(np.int64)
     if templated:
         t_rng = np.random.RandomState(seed + 1)
         templates = t_rng.uniform(
@@ -332,10 +349,22 @@ def create_dataset(
         num_classes = next(
             (int(p[1:]) for p in parts[2:] if re.fullmatch(r"c\d+", p)), 10
         )
+        # A typo'd token ("tlp", "mx") silently dropping its signal would
+        # corrupt attribution demos — reject anything unrecognized.
+        # "ldm"/"cond"/"big" are workload tokens consumed by cli/common.py's
+        # config builder; the dataset itself ignores them.
+        known = {"mix", "tex", "tpl", "sizes", "ldm", "cond", "big"}
+        bad = [p for p in parts[1:]
+               if p not in known and not re.fullmatch(r"\d+x\d+|c\d+", p)]
+        if bad:
+            raise ValueError(
+                f"unknown synthetic dataset token(s) {bad} in {dataset_name!r}"
+            )
         return make_synthetic(n=n, size=size, num_classes=num_classes,
                               heterogeneous="mix" in parts,
                               textured="tex" in parts,
-                              templated="tpl" in parts)
+                              templated="tpl" in parts,
+                              size_ramp="sizes" in parts)
 
     if dataset_name == "cifar":
         x, y = _load_cifar10_raw(root, train)

@@ -112,7 +112,17 @@ def _operand_dims(line: str, index, pos: int):
 
 
 def _conv_gflops(line: str, index) -> Optional[float]:
-    """Analytic FLOPs of a conv HLO line: 2 * out_elems * Cin_per_group * prod(window)."""
+    """Analytic model FLOPs of a conv HLO line.
+
+    2 * out_elems * Cin_per_group * effective_taps, where effective taps per
+    spatial dim = window_size / lhs_dilate. The TPU compiler lowers vmapped
+    (per-member) convs to base-dilated convs with an extra spatial dim of
+    kernel extent G and lhs_dilate=G — only one of the G taps hits real
+    (non-inserted-zero) input, so counting the full window would overstate
+    FLOPs by the member count. Same ratio handles transposed convs
+    (size 3 / dilate 2 -> 1.5 average real taps). Window components are
+    ordered by spatial dimension index.
+    """
     m = _DEF_RE.match(line)
     if not m or m.group(3) != "convolution":
         return None
@@ -123,20 +133,21 @@ def _conv_gflops(line: str, index) -> Optional[float]:
     out_elems = 1
     for d in out_dims:
         out_elems *= d
-    # rhs kernel layout: spatial... x Cin/g x Cout (NHWC default). Contraction
-    # size = prod(all kernel dims except the output-feature dim). Find the
-    # kernel output-feature dim from dim_labels (e.g. 01io->...), default -1.
-    kd = list(rhs_dims)
+    # Cin (per feature group) = the kernel dim labeled 'i'.
     dl = re.search(r"dim_labels=\w+_(\w+)->", line)
-    o_pos = dl.group(1).index("o") if dl and "o" in dl.group(1) else len(kd) - 1
-    kd.pop(o_pos)
-    contraction = 1
-    for d in kd:
-        contraction *= d
-    fc = re.search(r"feature_group_count=(\d+)", line)
-    if fc and int(fc.group(1)) > 1:
-        pass  # Cin dim in kernel is already per-group
-    return 2.0 * out_elems * contraction / 1e9
+    kl = dl.group(1) if dl else ""
+    i_pos = kl.index("i") if "i" in kl else len(rhs_dims) - 2
+    if i_pos >= len(rhs_dims):
+        return None
+    cin = rhs_dims[i_pos]
+    sz = re.search(r"window=\{[^}]*?size=([\dx]+)", line)
+    dil = re.search(r"lhs_dilate=([\dx]+)", line)
+    sizes = [int(v) for v in sz.group(1).split("x")] if sz else []
+    dils = [int(v) for v in dil.group(1).split("x")] if dil else []
+    taps = 1.0
+    for i, s in enumerate(sizes):
+        taps *= s / (dils[i] if i < len(dils) else 1)
+    return 2.0 * out_elems * cin * taps / 1e9
 
 
 def _dot_gflops(line: str, index) -> Optional[float]:

@@ -138,3 +138,63 @@ def test_inception_v3_shapes():
     out = model.apply(variables, jnp.zeros((2, 32, 32, 3)))
     assert out["pool3"].shape == (2, 2048)
     assert out["logits"].shape == (2, 1008)
+
+
+@pytest.mark.slow
+def test_diversity_cli_tiny_blip(tmp_path):
+    """calculate_global_scores_diversity end-to-end with the tiny BLIP
+    tower: train 2 steps, sample, embed with BLIP-VQA-style extractor
+    (reference diversity_score.py:89-91), Ward-cluster, JSONL row."""
+    from group_attribution_for_diffusion_models_tpu.cli import (
+        calculate_global_scores_diversity as div_cli,
+        main as train_main,
+    )
+    from group_attribution_for_diffusion_models_tpu.utils import read_records
+
+    outdir = str(tmp_path)
+    train_main.main([
+        "--dataset", "synthetic_16x8", "--method", "retrain",
+        "--removal_dist", "full", "--outdir", outdir,
+        "--training_steps", "2", "--db", str(tmp_path / "train_db.jsonl"),
+    ])
+    model_dir = f"{outdir}/synthetic_16x8/retrain/models/full"
+    db = str(tmp_path / "div_db.jsonl")
+    div_cli.main([
+        "--dataset", "synthetic_16x8", "--load", model_dir,
+        "--outdir", outdir, "--db", db, "--blip_tiny",
+        "--n_samples", "4", "--batch_size", "4", "--num_clusters", "2",
+        "--num_inference_steps", "2",
+    ])
+    rows = list(read_records(db))
+    assert len(rows) == 1
+    row = rows[0]
+    assert np.isfinite(row["entropy"]) and 0.0 <= row["entropy"] <= np.log(2) + 1e-6
+    # cluster_count is the per-cluster generated-image counts (the reference's
+    # row schema), proportions normalize over the 4 generated samples.
+    assert len(row["cluster_count"]) == 2 and sum(row["cluster_count"]) == 4
+    assert len(row["cluster_proportions"]) == 2
+    assert abs(sum(row["cluster_proportions"]) - 1.0) < 1e-6
+
+
+@pytest.mark.slow
+def test_diversity_cli_precomputed_embeddings(tmp_path):
+    """--embeddings_npz path: no model, no tower — pure clustering+entropy."""
+    from group_attribution_for_diffusion_models_tpu.cli import (
+        calculate_global_scores_diversity as div_cli,
+    )
+    from group_attribution_for_diffusion_models_tpu.utils import read_records
+
+    rng = np.random.RandomState(0)
+    # Two well-separated reference clusters; generated collapses onto one.
+    ref = np.concatenate([rng.normal(0, 0.1, (20, 8)),
+                          rng.normal(5, 0.1, (20, 8))])
+    gen = rng.normal(0, 0.1, (10, 8))
+    npz = str(tmp_path / "emb.npz")
+    np.savez(npz, ref_emb=ref, gen_emb=gen)
+    db = str(tmp_path / "db.jsonl")
+    div_cli.main([
+        "--dataset", "synthetic_16x8", "--embeddings_npz", npz,
+        "--outdir", str(tmp_path), "--db", db, "--num_clusters", "2",
+    ])
+    row = list(read_records(db))[0]
+    assert row["entropy"] < 1e-6  # all generated in one cluster

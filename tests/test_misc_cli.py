@@ -138,3 +138,141 @@ def test_package_main_lists_commands(capsys):
     for name in ("train_ensemble", "shapley_pipeline", "shapley_groundtruth"):
         assert name in out
     assert main(["no_such_command"]) == 2
+
+
+def test_similarity_baseline_clip(tmp_path):
+    """CLIP-embedding similarity on the tiny random-init tower (the
+    synthetic-dataset path of reference text_to_image/clip_similarity.py)."""
+    from group_attribution_for_diffusion_models_tpu.cli import similarity_baselines
+
+    gen = str(tmp_path / "gen")
+    _write_images(gen, 3, seed=5, size=32)
+    save = str(tmp_path / "clip.npy")
+    similarity_baselines.main([
+        "--dataset", "synthetic_64x8", "--baseline", "clip",
+        "--generated_dir", gen, "--save_path", save, "--by", "avg",
+        "--agg", "sum",
+    ])
+    attrs = np.load(save)
+    assert attrs.shape == (10,) and np.all(np.isfinite(attrs))
+    ranking = np.load(str(tmp_path / "clip_ranking.npy"))
+    assert sorted(ranking.tolist()) == list(range(10))
+
+
+def test_similarity_baseline_aesthetic(tmp_path):
+    """Aesthetic-score baseline (reference aesthetic_score.py): per-train
+    CLIP embed -> MLP head -> per-group max/mean, no generated dir needed."""
+    from group_attribution_for_diffusion_models_tpu.cli import similarity_baselines
+
+    save = str(tmp_path / "aes.npy")
+    similarity_baselines.main([
+        "--dataset", "synthetic_64x8", "--baseline", "aesthetic",
+        "--save_path", save, "--by", "max", "--max_examples", "32",
+    ])
+    attrs = np.load(save)
+    # 32 examples cover only the first groups of the 64x8 synthetic set;
+    # every covered group gets a finite score.
+    assert attrs.ndim == 1 and np.all(np.isfinite(attrs))
+    assert os.path.exists(str(tmp_path / "aes_ranking.npy"))
+
+
+def test_prune_lora_cli(tmp_path):
+    """prune_lora CLI round trip: npz in -> pruned npz + info.csv out
+    (reference text_to_image/prune_lora.py:62-217)."""
+    import jax
+    import jax.numpy as jnp
+
+    from group_attribution_for_diffusion_models_tpu.cli import prune_lora as cli
+    from group_attribution_for_diffusion_models_tpu.cli.train_text_to_image_lora import (
+        _load_lora_npz,
+        _save_lora_npz,
+    )
+    from group_attribution_for_diffusion_models_tpu.models.lora import (
+        lora_init,
+        lora_num_params,
+        lora_ranks,
+    )
+
+    params = {
+        "attn": {
+            "to_q": {"kernel": jnp.zeros((32, 32))},
+            "to_k": {"kernel": jnp.zeros((32, 32))},
+            "to_out": {"kernel": jnp.zeros((32, 16))},
+        }
+    }
+    tree = lora_init(params, rank=8, key=jax.random.PRNGKey(0))
+    # Give 'up' nonzero magnitudes so pair importances are heterogeneous.
+    tree = {
+        name: {"down": ab["down"],
+               "up": ab["up"] + jax.random.normal(jax.random.PRNGKey(i), ab["up"].shape)}
+        for i, (name, ab) in enumerate(tree.items())
+    }
+    src = str(tmp_path / "lora_weights.npz")
+    _save_lora_npz(src, tree)
+    dst = str(tmp_path / "pruned" / "lora_weights.npz")
+    cli.main(["--lora_dir", src, "--pruning_ratio", "0.5",
+              "--save_path", dst])
+
+    pruned = _load_lora_npz(dst)
+    n_before, n_after = lora_num_params(tree), lora_num_params(pruned)
+    assert n_after <= 0.55 * n_before
+    assert all(r >= 1 for r in lora_ranks(pruned).values())
+    info = open(str(tmp_path / "pruned" / "info.csv")).read().splitlines()
+    assert info[0].startswith("params_before")
+    vals = info[1].split(",")
+    assert int(vals[0]) == n_before and int(vals[1]) == n_after
+
+
+def test_experiments_run_roundtrip(tmp_path, monkeypatch, capsys):
+    """gen-commands -> run (real subprocess training) -> find-incomplete
+    reports a complete sweep: the full reference find_incomplete_trainings.py
+    / run.sh loop on a tmpdir."""
+    import subprocess
+    import sys as _sys
+
+    from group_attribution_for_diffusion_models_tpu.cli import experiments
+
+    outdir, db = str(tmp_path), str(tmp_path / "db.jsonl")
+    cf = str(tmp_path / "cmd.txt")
+    experiments.main([
+        "gen-commands", "--dataset", "synthetic_64x8",
+        "--removal_dist", "shapley", "--num_seeds", "2", "--chunk_size", "2",
+        "--training_steps", "2", "--outdir", outdir, "--db", db,
+        "--command_file", cf,
+    ])
+    lines = [l for l in open(cf).read().splitlines() if l]
+    assert len(lines) == 1 and "--training_steps 2" in lines[0]
+
+    # find-incomplete BEFORE running: both seeds missing.
+    retry = str(tmp_path / "retry.txt")
+    experiments.main([
+        "find-incomplete", "--dataset", "synthetic_64x8",
+        "--removal_dist", "shapley", "--num_seeds", "2",
+        "--outdir", outdir, "--db", db, "--command_file", retry,
+    ])
+    assert len(open(retry).read().splitlines()) == 2
+
+    # `run` executes the command file via the shell. Force the subprocess
+    # onto the CPU backend (sitecustomize would otherwise grab the TPU) and
+    # keep the train tiny. repo-root cwd resolves `python -m <pkg>`.
+    monkeypatch.setenv("PYTHONPATH", "")
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    monkeypatch.setenv("XLA_FLAGS", "")
+    monkeypatch.chdir(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    # Rewrite 'python' to the running interpreter for hermeticity.
+    with open(cf) as f:
+        cmds = f.read().replace("python -m", f"{_sys.executable} -m")
+    with open(cf, "w") as f:
+        f.write(cmds + "\n")
+    experiments.main(["run", "--command_file", cf])
+
+    # find-incomplete AFTER: sweep complete, no retry file rewritten.
+    os.remove(retry)
+    experiments.main([
+        "find-incomplete", "--dataset", "synthetic_64x8",
+        "--removal_dist", "shapley", "--num_seeds", "2",
+        "--outdir", outdir, "--db", db, "--command_file", retry,
+    ])
+    out = capsys.readouterr().out
+    assert "sweep complete" in out
+    assert not os.path.exists(retry)
