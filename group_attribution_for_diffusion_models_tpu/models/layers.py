@@ -13,6 +13,7 @@ via ops.attention for the larger configs.
 from __future__ import annotations
 
 import math
+import os
 from typing import Optional
 
 import jax
@@ -21,6 +22,7 @@ from flax import linen as nn
 from jax.ad_checkpoint import checkpoint_name
 
 from ..ops.attention import dot_product_attention
+from ..ops.group_norm import group_norm_silu
 
 
 def sinusoidal_embedding(
@@ -61,6 +63,100 @@ class TimestepEmbedding(nn.Module):
         return nn.Dense(self.embed_dim, dtype=self.dtype, name="linear_2")(temb)
 
 
+class GroupNormSiLU(nn.Module):
+    """GroupNorm with an optional fused SiLU, lowered via the Pallas kernel.
+
+    Param structure matches nn.GroupNorm ({scale, bias}), so checkpoints and
+    converters are unaffected. On TPU this dispatches to
+    ops.group_norm.group_norm_silu (one HBM read + one write per pass, f32
+    statistics, out_dtype = the consuming conv's compute dtype); elsewhere it
+    falls back to the exact XLA reference path. Emitting the conv input dtype
+    directly is numerically identical to the unfused pipeline because nn.Conv
+    promotes its input to the same dtype anyway.
+    """
+
+    groups: int = 32
+    eps: float = 1e-6
+    silu: bool = True
+    dtype: jnp.dtype = jnp.float32  # output dtype
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones_init(), (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros_init(), (c,), jnp.float32)
+        if os.environ.get("GADM_FUSED_GN", "1") != "1":
+            # A/B lane: the pre-fusion lowering (f32 GN output, separate
+            # SiLU), exactly what nn.GroupNorm(dtype=f32)+nn.silu produced.
+            xf = x.astype(jnp.float32).reshape(
+                x.shape[:-1] + (self.groups, c // self.groups)
+            )
+            red = tuple(range(1, x.ndim - 1)) + (x.ndim,)
+            mean = jnp.mean(xf, axis=red, keepdims=True)
+            var = jnp.maximum(
+                jnp.mean(jnp.square(xf), axis=red, keepdims=True)
+                - jnp.square(mean),
+                0.0,
+            )
+            y = ((xf - mean) * jax.lax.rsqrt(var + self.eps)).reshape(x.shape)
+            y = y * scale + bias
+            return nn.silu(y) if self.silu else y
+        return group_norm_silu(
+            x, scale, bias, groups=self.groups, eps=self.eps, silu=self.silu,
+            out_dtype=self.dtype,
+        )
+
+
+class Conv1x1(nn.Module):
+    """1x1 convolution evaluated as a channel matmul.
+
+    Param layout is identical to nn.Conv with a (1, 1) window (kernel
+    (1, 1, in, out), bias (out,)) so checkpoints and the diffusers weight
+    converters are unaffected; only the compute path differs. Motivation
+    (docs/profile_cifar_train.txt): under the ensemble vmap the kernel gains
+    a leading member axis and XLA lowers the (1, 1) conv as a grouped
+    convolution running at 20-73 TFLOP/s on v5e, while the identical
+    contraction expressed as a dot lowers to a batched matmul at ~180+.
+    """
+
+    features: int
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (1, 1, x.shape[-1], self.features),
+            jnp.float32,
+        )
+        bias = (
+            self.param(
+                "bias", nn.initializers.zeros_init(), (self.features,), jnp.float32
+            )
+            if self.use_bias
+            else None
+        )
+        x, kernel, bias = nn.dtypes.promote_dtype(x, kernel, bias, dtype=self.dtype)
+        if os.environ.get("GADM_CONV1X1", "0") != "1":
+            # Default lane: the plain conv lowering. Measured on v5e: the
+            # einsum lowering regresses the CIFAR ensemble bench 702 -> 663
+            # passes/h (XLA fuses the 1x1 conv with the residual add and
+            # surrounding elementwise; the dot_general form breaks that
+            # fusion), despite the grouped-conv HLOs showing lower raw
+            # TFLOP/s. Keep the dot lane opt-in via GADM_CONV1X1=1.
+            y = jax.lax.conv_general_dilated(
+                x.reshape((-1,) + x.shape[-3:]), kernel, (1, 1), "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ).reshape(x.shape[:-1] + (self.features,))
+        else:
+            y = jnp.einsum("...c,cd->...d", x, kernel[0, 0])
+        if bias is not None:
+            y = y + bias
+        return y
+
+
 class ResnetBlock(nn.Module):
     """GN-SiLU-Conv resnet block with additive time conditioning.
 
@@ -84,8 +180,9 @@ class ResnetBlock(nn.Module):
         deterministic: bool = True,
     ) -> jnp.ndarray:
         hidden_ch = self.hidden_channels or self.out_channels
-        h = nn.GroupNorm(self.groups, epsilon=self.eps, dtype=jnp.float32, name="norm1")(x)
-        h = nn.silu(h)
+        h = GroupNormSiLU(
+            self.groups, eps=self.eps, dtype=self.dtype, name="norm1"
+        )(x)
         # "remat_conv" tags feed UNet2D's selective remat_policy: a 3x3 conv
         # is the one op worth saving in the backward pass (recomputing it
         # costs real MXU FLOPs; the surrounding GN/SiLU are free to redo).
@@ -98,8 +195,9 @@ class ResnetBlock(nn.Module):
             t = nn.Dense(hidden_ch, dtype=self.dtype, name="time_emb_proj")(nn.silu(temb))
             h = h + t[:, None, None, :]
 
-        h = nn.GroupNorm(self.groups, epsilon=self.eps, dtype=jnp.float32, name="norm2")(h)
-        h = nn.silu(h)
+        h = GroupNormSiLU(
+            self.groups, eps=self.eps, dtype=self.dtype, name="norm2"
+        )(h)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         h = checkpoint_name(
             nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h),
@@ -107,9 +205,7 @@ class ResnetBlock(nn.Module):
         )
 
         if x.shape[-1] != self.out_channels:
-            x = nn.Conv(
-                self.out_channels, (1, 1), dtype=self.dtype, name="conv_shortcut"
-            )(x)
+            x = Conv1x1(self.out_channels, dtype=self.dtype, name="conv_shortcut")(x)
         return x + h
 
 
@@ -180,7 +276,10 @@ class SelfAttention2D(nn.Module):
         head_dim = c // num_heads
 
         residual = x
-        y = nn.GroupNorm(self.groups, epsilon=self.eps, dtype=jnp.float32, name="group_norm")(x)
+        y = GroupNormSiLU(
+            self.groups, eps=self.eps, silu=False, dtype=self.dtype,
+            name="group_norm",
+        )(x)
         y = y.reshape(b, h * w, c)
 
         q = LoRADense(c, dtype=self.dtype, name="to_q")(y)
@@ -273,15 +372,17 @@ class SpatialTransformer(nn.Module):
     def __call__(self, x: jnp.ndarray, context: jnp.ndarray) -> jnp.ndarray:
         b, h, w, c = x.shape
         residual = x
-        y = nn.GroupNorm(self.groups, epsilon=self.eps, dtype=jnp.float32, name="norm")(x)
-        y = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_in")(y)
+        y = GroupNormSiLU(
+            self.groups, eps=self.eps, silu=False, dtype=self.dtype, name="norm"
+        )(x)
+        y = Conv1x1(c, dtype=self.dtype, name="proj_in")(y)
         y = y.reshape(b, h * w, c)
         for i in range(self.depth):
             y = TransformerBlock(self.num_heads, dtype=self.dtype, name=f"block_{i}")(
                 y, context
             )
         y = y.reshape(b, h, w, c)
-        y = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_out")(y)
+        y = Conv1x1(c, dtype=self.dtype, name="proj_out")(y)
         return residual + y
 
 

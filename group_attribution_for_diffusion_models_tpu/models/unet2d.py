@@ -26,6 +26,7 @@ from flax import linen as nn
 from ..config.registry import UNetSpec
 from .layers import (
     Downsample,
+    GroupNormSiLU,
     ResnetBlock,
     SelfAttention2D,
     SpatialTransformer,
@@ -205,11 +206,10 @@ class UNet2D(nn.Module):
             if not is_final:
                 h = Upsample(out_ch, dtype=self.dtype, name=f"up_{i}_upsample")(h)
 
-        h = nn.GroupNorm(
-            spec.norm_num_groups, epsilon=spec.norm_eps, dtype=jnp.float32,
+        h = GroupNormSiLU(
+            spec.norm_num_groups, eps=spec.norm_eps, dtype=self.dtype,
             name="conv_norm_out",
         )(h)
-        h = nn.silu(h)
         h = nn.Conv(
             spec.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv_out"
         )(h)

@@ -28,7 +28,7 @@ import numpy as np
 from flax import linen as nn
 
 from ..config.registry import VQVAESpec
-from .layers import ResnetBlock, SelfAttention2D
+from .layers import GroupNormSiLU, ResnetBlock, SelfAttention2D
 
 
 class Encoder(nn.Module):
@@ -58,9 +58,8 @@ class Encoder(nn.Module):
                             name="mid_attn")(h)
         h = ResnetBlock(ch, groups=spec.norm_num_groups, dtype=self.dtype,
                         name="mid_res_1")(h)
-        h = nn.GroupNorm(spec.norm_num_groups, epsilon=1e-6, dtype=jnp.float32,
-                         name="norm_out")(h)
-        h = nn.silu(h)
+        h = GroupNormSiLU(spec.norm_num_groups, eps=1e-6, dtype=self.dtype,
+                          name="norm_out")(h)
         return nn.Conv(spec.latent_channels, (3, 3), padding=1, dtype=self.dtype,
                        name="conv_out")(h)
 
@@ -91,9 +90,8 @@ class Decoder(nn.Module):
                 h = jax.image.resize(h, (b, hh * 2, ww * 2, cc), "nearest")
                 h = nn.Conv(ch, (3, 3), padding=1, dtype=self.dtype,
                             name=f"up_{i}_upsample")(h)
-        h = nn.GroupNorm(spec.norm_num_groups, epsilon=1e-6, dtype=jnp.float32,
-                         name="norm_out")(h)
-        h = nn.silu(h)
+        h = GroupNormSiLU(spec.norm_num_groups, eps=1e-6, dtype=self.dtype,
+                          name="norm_out")(h)
         return nn.Conv(spec.out_channels, (3, 3), padding=1, dtype=self.dtype,
                        name="conv_out")(h)
 
