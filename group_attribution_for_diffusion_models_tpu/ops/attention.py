@@ -32,6 +32,7 @@ replaces allocated an 8 GB f32 score tensor per attention layer on the
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -279,13 +280,320 @@ def _flash_bwd(res, g):
 flash_attention.defvjp(_flash_fwd, _flash_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Head-packed (layout-free) flash kernels.
+#
+# The transposed (D, S) kernels above need (B,S,H,D) -> (B*H, D, S)
+# relayouts on every operand and output. The SD train-step profile
+# (docs/profile_sd_train.txt) shows those transposes — the [attn]-scoped
+# non-custom-call events — cost 13.6% of device time, MORE than the flash
+# custom calls themselves (10.4%): at head_dim 40-80 the QK^T contraction
+# underuses the MXU either way, so the HBM layout copies dominate (XLA's
+# strided (B,S,H,D)->(B,H,D,S) copy measured ~6% of HBM bandwidth).
+#
+# These kernels instead read q in the dense projection's NATURAL
+# (B, S, H*D) layout — the per-head split never exists in HBM — and K/V
+# pre-transposed to (B, H*D, S) by ONE dense 2-D transpose of the packed
+# matrix (XLA's tiled transpose at near-HBM-bandwidth; the per-head strided
+# relayout it replaces is ~6x more expensive). Heads are sliced on the
+# SUBLANE axis (head dims 32-160 are all multiples of the 8-sublane tile);
+# only the small per-block q tile is transposed in VMEM. Per-head math is
+# then identical to the (D, S) kernels above. Outputs are written back in
+# natural (B, S, H*D) layout, so the surrounding reshapes are free.
+# (A first variant that transposed the full K/V slice in VMEM per query
+# block measured 0.8x the transposed kernels at S=4096 — the redundant
+# grid-step transposes cost more than the HBM relayouts they saved.)
+# ---------------------------------------------------------------------------
+
+
+def _hp_fwd_kernel(q_ref, kt_ref, vt_ref, o_ref, *, scale, kv_len, heads):
+    qt = q_ref[0].T  # (HD, BQ) — small per-block in-VMEM transpose
+    kt = kt_ref[0]  # (HD, Skv) — pre-transposed in HBM
+    vt = vt_ref[0]
+    d = qt.shape[0] // heads
+    outs = []
+    for hh in range(heads):
+        sl = slice(hh * d, (hh + 1) * d)
+        st = _scores_t(kt[sl], qt[sl], scale, kv_len)  # (Skv, BQ)
+        m = jnp.max(st, axis=0, keepdims=True)
+        p = jnp.exp(st - m)
+        denom = jnp.sum(p, axis=0, keepdims=True)
+        pn = (p / denom).astype(vt.dtype)
+        outs.append(
+            jax.lax.dot_general(
+                vt[sl], pn, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        )  # (D, BQ)
+    ot = jnp.concatenate(outs, axis=0)  # (HD, BQ)
+    o_ref[0] = ot.T.astype(o_ref.dtype)
+
+
+def _hp_bwd_dq_kernel(
+    q_ref, kt_ref, vt_ref, do_ref, dq_ref, lse_ref, delta_ref,
+    *, scale, kv_len, heads,
+):
+    """dQ for one (BQ, HD) query block; re-derives softmax stats per head and
+    emits lse/delta into (heads*_STAT_SUB, Sq) stat planes."""
+    qt = q_ref[0].T
+    kt = kt_ref[0]  # (HD, Skv) — pre-transposed
+    vt = vt_ref[0]
+    dot_ = do_ref[0].T  # (HD, BQ)
+    d = qt.shape[0] // heads
+    dqs = []
+    for hh in range(heads):
+        sl = slice(hh * d, (hh + 1) * d)
+        st = _scores_t(kt[sl], qt[sl], scale, kv_len)
+        m = jnp.max(st, axis=0, keepdims=True)
+        p = jnp.exp(st - m)
+        denom = jnp.sum(p, axis=0, keepdims=True)
+        pn = p / denom
+        doh = dot_[sl]  # (D, BQ)
+        ot = jax.lax.dot_general(
+            vt[sl], pn.astype(vt.dtype), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        delta = jnp.sum(ot * doh.astype(jnp.float32), axis=0, keepdims=True)
+        dpt = jax.lax.dot_general(
+            vt[sl], doh, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (Skv, BQ)
+        dst = (pn * (dpt - delta)).astype(qt.dtype)
+        dqs.append(
+            jax.lax.dot_general(
+                kt[sl], dst, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+        )  # (D, BQ)
+        lse_ref[0, hh * _STAT_SUB:(hh + 1) * _STAT_SUB] = jnp.broadcast_to(
+            m + jnp.log(denom), (_STAT_SUB, m.shape[1])
+        )
+        delta_ref[0, hh * _STAT_SUB:(hh + 1) * _STAT_SUB] = jnp.broadcast_to(
+            delta, (_STAT_SUB, delta.shape[1])
+        )
+    dq_ref[0] = jnp.concatenate(dqs, axis=0).T.astype(dq_ref.dtype)
+
+
+def _hp_bwd_dkv_kernel(
+    kt_ref, vt_ref, qt_ref, dot_ref, lse_ref, delta_ref, dk_ref, dv_ref,
+    *, scale, kv_len, heads, block_k,
+):
+    """dK/dV for one key block against the whole Q/dO slice; every operand
+    arrives pre-transposed (HD on sublanes) so no full-slice VMEM transpose
+    runs per grid step."""
+    kt = kt_ref[0]  # (HD, BK)
+    vt = vt_ref[0]
+    qt = qt_ref[0]  # (HD, Sq)
+    dot_ = dot_ref[0]
+    d = kt.shape[0] // heads
+    j = pl.program_id(1)
+    dks, dvs = [], []
+    for hh in range(heads):
+        sl = slice(hh * d, (hh + 1) * d)
+        lse = lse_ref[0, hh * _STAT_SUB:hh * _STAT_SUB + 1]  # (1, Sq)
+        delta = delta_ref[0, hh * _STAT_SUB:hh * _STAT_SUB + 1]
+        st = jax.lax.dot_general(
+            kt[sl], qt[sl], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale  # (BK, Sq)
+        pn = jnp.exp(st - lse)  # normalized: exp(s - lse) = p / denom
+        row = j * block_k + jax.lax.broadcasted_iota(jnp.int32, st.shape, 0)
+        pn = jnp.where(row < kv_len, pn, 0.0)
+        dvs.append(
+            jax.lax.dot_general(
+                dot_[sl], pn.astype(dot_.dtype), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        )  # (D, BK)
+        dpt = jax.lax.dot_general(
+            vt[sl], dot_[sl], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (BK, Sq)
+        dst = (pn * (dpt - delta)).astype(qt.dtype)
+        dks.append(
+            jax.lax.dot_general(
+                qt[sl], dst, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+        )  # (D, BK)
+    dk_ref[0] = jnp.concatenate(dks, axis=0).T.astype(dk_ref.dtype)
+    dv_ref[0] = jnp.concatenate(dvs, axis=0).T.astype(dv_ref.dtype)
+
+
+def _hp_pad_kv(k3, v3):
+    """Pad the key length to the sublane tile so VMEM blocks are aligned and
+    padded K rows enter the masked-score path with defined (zero) values."""
+    skv = k3.shape[1]
+    skv_a = _round_up(skv, 16 if k3.dtype == jnp.bfloat16 else 8)
+    if skv != skv_a:
+        pad = ((0, 0), (0, skv_a - skv), (0, 0))
+        k3, v3 = jnp.pad(k3, pad), jnp.pad(v3, pad)
+    return k3, v3, skv_a
+
+
+def _hp_call_kwargs(interpret: bool) -> dict:
+    """Raise Mosaic's scoped-VMEM cap for the head-packed kernels: they hold
+    the full (Skv, H*D) K/V slice plus per-head f32 score planes in VMEM
+    (~25 MB at the miniSD level-0 geometry 4096x320), above the 16 MB
+    default but far under the 128 MB v5e VMEM."""
+    if interpret:
+        return {}
+    from jax.experimental.pallas import tpu as pltpu
+
+    return {"compiler_params": pltpu.CompilerParams(
+        vmem_limit_bytes=100 * 1024 * 1024)}
+
+
+def _hp_forward(q3, k3, v3, heads: int, d: int):
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, sq, hd = q3.shape
+    skv = k3.shape[1]
+    scale = 1.0 / (d**0.5)
+    k3, v3, skv_a = _hp_pad_kv(k3, v3)
+    # One dense 2-D transpose per operand in HBM (cheap, coalesced) so the
+    # kernel never re-transposes the full K/V slice per query block.
+    kt3 = jnp.swapaxes(k3, 1, 2)  # (B, HD, Skv)
+    vt3 = jnp.swapaxes(v3, 1, 2)
+    interpret = jax.default_backend() != "tpu"
+
+    q_spec = pl.BlockSpec((1, _BLOCK, hd), lambda i, j: (i, j, 0),
+                          memory_space=pltpu.VMEM)
+    kv_spec = pl.BlockSpec((1, hd, skv_a), lambda i, j: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_hp_fwd_kernel, scale=scale, kv_len=skv, heads=heads),
+        grid=(b, sq // _BLOCK),
+        in_specs=[q_spec, kv_spec, kv_spec],
+        out_specs=q_spec,
+        out_shape=jax.ShapeDtypeStruct((b, sq, hd), q3.dtype),
+        interpret=interpret,
+        **_hp_call_kwargs(interpret),
+    )(q3, kt3, vt3)
+
+
+def _hp_backward(q3, k3, v3, g3, heads: int, d: int):
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, sq, hd = q3.shape
+    skv = k3.shape[1]
+    scale = 1.0 / (d**0.5)
+    interpret = jax.default_backend() != "tpu"
+    k3p, v3p, _ = _hp_pad_kv(k3, v3)
+    skv_b = _round_up(skv, _BLOCK)
+    kt3 = jnp.swapaxes(k3p, 1, 2)  # (B, HD, Skv) — single dense transpose
+    vt3 = jnp.swapaxes(v3p, 1, 2)
+
+    q_spec = pl.BlockSpec((1, _BLOCK, hd), lambda i, j: (i, j, 0),
+                          memory_space=pltpu.VMEM)
+    kv_full_spec = pl.BlockSpec((1, hd, kt3.shape[2]), lambda i, j: (i, 0, 0),
+                                memory_space=pltpu.VMEM)
+    stat_spec = pl.BlockSpec((1, heads * _STAT_SUB, _BLOCK),
+                             lambda i, j: (i, 0, j), memory_space=pltpu.VMEM)
+    stat_shape = jax.ShapeDtypeStruct((b, heads * _STAT_SUB, sq), jnp.float32)
+
+    dq3, lse, delta = pl.pallas_call(
+        functools.partial(
+            _hp_bwd_dq_kernel, scale=scale, kv_len=skv, heads=heads
+        ),
+        grid=(b, sq // _BLOCK),
+        in_specs=[q_spec, kv_full_spec, kv_full_spec, q_spec],
+        out_specs=[q_spec, stat_spec, stat_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, sq, hd), q3.dtype),
+            stat_shape,
+            stat_shape,
+        ],
+        interpret=interpret,
+        **_hp_call_kwargs(interpret),
+    )(q3, kt3, vt3, g3)
+
+    if kt3.shape[2] != skv_b:
+        pad = ((0, 0), (0, 0), (0, skv_b - kt3.shape[2]))
+        kt3, vt3 = jnp.pad(kt3, pad), jnp.pad(vt3, pad)
+    qt3 = jnp.swapaxes(q3, 1, 2)  # (B, HD, Sq) for the key-tiled kernel
+    dot3 = jnp.swapaxes(g3, 1, 2)
+    kvt_blk_spec = pl.BlockSpec((1, hd, _BLOCK), lambda i, j: (i, 0, j),
+                                memory_space=pltpu.VMEM)
+    kv_out_spec = pl.BlockSpec((1, _BLOCK, hd), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM)
+    qt_full_spec = pl.BlockSpec((1, hd, sq), lambda i, j: (i, 0, 0),
+                                memory_space=pltpu.VMEM)
+    stat_full_spec = pl.BlockSpec((1, heads * _STAT_SUB, sq),
+                                  lambda i, j: (i, 0, 0),
+                                  memory_space=pltpu.VMEM)
+    dk3, dv3 = pl.pallas_call(
+        functools.partial(
+            _hp_bwd_dkv_kernel, scale=scale, kv_len=skv, heads=heads,
+            block_k=_BLOCK,
+        ),
+        grid=(b, skv_b // _BLOCK),
+        in_specs=[
+            kvt_blk_spec, kvt_blk_spec, qt_full_spec, qt_full_spec,
+            stat_full_spec, stat_full_spec,
+        ],
+        out_specs=[kv_out_spec, kv_out_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, skv_b, hd), k3.dtype),
+            jax.ShapeDtypeStruct((b, skv_b, hd), v3.dtype),
+        ],
+        interpret=interpret,
+        **_hp_call_kwargs(interpret),
+    )(kt3, vt3, qt3, dot3, lse, delta)
+    return dq3, dk3[:, :skv], dv3[:, :skv]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _hp_flash(q3, k3, v3, hd_spec):
+    return _hp_forward(q3, k3, v3, *hd_spec)
+
+
+def _hp_fwd_rule(q3, k3, v3, hd_spec):
+    return _hp_forward(q3, k3, v3, *hd_spec), (q3, k3, v3)
+
+
+def _hp_bwd_rule(hd_spec, res, g3):
+    q3, k3, v3 = res
+    return _hp_backward(q3, k3, v3, g3, *hd_spec)
+
+
+_hp_flash.defvjp(_hp_fwd_rule, _hp_bwd_rule)
+
+
+def flash_attention_hp(q, k, v):
+    """Head-packed Pallas flash attention on (B, S, H, D).
+
+    No HBM layout copies: the (B, S, H, D) views are reshaped (free) to the
+    projections' natural (B, S, H*D) layout and heads are split on VMEM
+    sublanes inside the kernels."""
+    b, sq, h, d = q.shape
+    skv = k.shape[1]
+    return _hp_flash(
+        q.reshape(b, sq, h * d), k.reshape(b, skv, h * d),
+        v.reshape(b, skv, h * d), (h, d),
+    ).reshape(b, sq, h, d)
+
+
 def dot_product_attention(
     q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray
 ) -> jnp.ndarray:
-    """Scaled dot-product attention on (B, S, H, D); picks the Pallas flash
+    """Scaled dot-product attention on (B, S, H, D); picks a Pallas flash
     kernel for the long-sequence LDM shapes, fused XLA attention otherwise.
-    The kernel's transposed layout requires the head dim to tile sublanes
-    (d % 8 == 0 — true for every config in the registry)."""
+    Both kernels require the head dim to tile sublanes (d % 8 == 0 — true
+    for every config in the registry).
+
+    Layout dispatch is measured (scripts/bench_hp_attention.py, v5e, both
+    kernels fed from the projections' packed layout): head-packed wins at
+    d >= 64 (1.53-1.70x fwd at the miniSD level-1 (1024, 8, 80) shape) where
+    the wider head slices amortize its in-kernel block transposes, while at
+    d = 40/S = 4096 the transposed-layout kernel is ~1.1x faster — at small
+    head dims the QK^T contraction underuses the MXU (d/128 occupancy)
+    so neither layout's copy traffic dominates. GADM_FLASH_LAYOUT=hp|t
+    forces one (the hp path also wants a _BLOCK-aligned query length)."""
     if q.shape[1] >= _FLASH_MIN_Q_LEN and q.shape[-1] % 8 == 0 and q.shape[-1] <= 256:
+        layout = os.environ.get("GADM_FLASH_LAYOUT", "auto")
+        use_hp = {"hp": True, "t": False}.get(layout, q.shape[-1] >= 64)
+        if use_hp and q.shape[1] % _BLOCK == 0:
+            return flash_attention_hp(q, k, v)
         return flash_attention(q, k, v)
     return _xla_attention(q, k, v)

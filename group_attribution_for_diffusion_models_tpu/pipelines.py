@@ -36,6 +36,11 @@ class Pipeline:
     state: TrainState
     meta: dict
     decode_fn: Optional[object] = None
+    # Compiled-sampler cache keyed by (batch, steps, kind): repeated
+    # generate_images calls (e.g. compute_model_behaviors scoring many
+    # subsets at the same geometry) reuse one jitted program instead of
+    # re-tracing a fresh closure per call.
+    _samplers: dict = dataclasses.field(default_factory=dict, repr=False)
 
     @property
     def spec(self):
@@ -56,12 +61,15 @@ class Pipeline:
 
         spec = self.spec
         batch = min(batch_size, n_samples)
-        sampler = make_sampler(
-            self.model.apply, self.cfg.scheduler,
-            (batch, spec.sample_size, spec.sample_size, spec.in_channels),
-            num_inference_steps=num_inference_steps, kind=kind,
-            decode_fn=self.decode_fn,
-        )
+        cache_key = (batch, num_inference_steps, kind)
+        sampler = self._samplers.get(cache_key)
+        if sampler is None:
+            sampler = self._samplers[cache_key] = make_sampler(
+                self.model.apply, self.cfg.scheduler,
+                (batch, spec.sample_size, spec.sample_size, spec.in_channels),
+                num_inference_steps=num_inference_steps, kind=kind,
+                decode_fn=self.decode_fn,
+            )
         params = self.state.ema_params if use_ema else self.state.params
         chunks = []
         for b in range(math.ceil(n_samples / batch)):

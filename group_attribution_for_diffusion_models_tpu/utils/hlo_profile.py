@@ -39,6 +39,7 @@ class OpRecord:
     count: int = 0
     detail: str = ""     # shape / fused-op summary from the HLO text
     gflops: Optional[float] = None  # analytic, when derivable from HLO
+    gbytes: Optional[float] = None  # operand+result HBM traffic, when derivable
 
 
 @dataclass
@@ -168,6 +169,60 @@ def _dot_gflops(line: str, index) -> Optional[float]:
     return 2.0 * out_elems * contraction / 1e9
 
 
+_DTYPE_BYTES = {
+    "f64": 8, "f32": 4, "bf16": 2, "f16": 2, "s32": 4, "u32": 4,
+    "s16": 2, "u16": 2, "s8": 1, "u8": 1, "pred": 1, "s64": 8, "u64": 8,
+}
+
+
+def _shape_bytes(shape_str: str) -> float:
+    """Total bytes of an HLO shape string, including tuple shapes."""
+    total = 0.0
+    for m in re.finditer(r"(\w+)\[([\d,]*)\]", shape_str):
+        dt, dims = m.group(1), m.group(2)
+        n = 1
+        for d in dims.split(","):
+            if d:
+                n *= int(d)
+        total += n * _DTYPE_BYTES.get(dt, 4)
+    return total
+
+
+def _instr_gbytes(line: str, index) -> Optional[float]:
+    """HBM traffic of a top-level instruction: operand bytes + result bytes.
+
+    An upper bound for fused producers/consumers, but exact for the common
+    memory-bound case (each operand read once, result written once) — the
+    number to hold against the ~819 GB/s v5e HBM roofline.
+    """
+    m = _DEF_RE.match(line)
+    if not m:
+        return None
+    total = _shape_bytes(m.group(2))
+    for op_name in _operand_names(line):
+        entry = index.get(op_name)
+        if entry:
+            mm = _DEF_RE.match(entry[1])
+            if mm:
+                total += _shape_bytes(mm.group(2))
+    return total / 1e9 or None
+
+
+def _op_source(body_lines) -> str:
+    """Best-effort JAX source attribution: the most common op_name metadata
+    suffix inside a fusion body (e.g. 'transpose(jvp(UNet2D))/.../group_norm')."""
+    counts: dict = defaultdict(int)
+    for ln in body_lines:
+        mm = re.search(r'op_name="([^"]+)"', ln)
+        if mm:
+            # Keep the tail of the path — the meaningful module/op part.
+            parts = mm.group(1).split("/")
+            counts["/".join(parts[-2:])] += 1
+    if not counts:
+        return ""
+    return max(counts.items(), key=lambda kv: kv[1])[0]
+
+
 def _fusion_detail(name: str, hlo_text: str, index) -> tuple:
     """Summarize what a fusion computation contains: (detail, gflops)."""
     # Fusion instruction references calls=%fused_computation.N; find the
@@ -236,6 +291,12 @@ def _fusion_detail(name: str, hlo_text: str, index) -> tuple:
     detail = ",".join(f"{k}x{v}" for k, v in sorted(interesting.items()))
     if shapes:
         detail += " " + ";".join(shapes[:2])
+    else:
+        # Memory-bound fusion: name the JAX source op so reduce/elementwise
+        # time is attributable (e.g. GN stats vs optimizer vs loss).
+        src = _op_source(body_lines)
+        if src:
+            detail += f" src={src}"
     return (detail or "elementwise"), (gflops or None)
 
 
@@ -291,21 +352,34 @@ def profile_device_ops(
         if rec is None:
             base = name.split(" ")[0]
             opcode, line = index.get(base, (None, ""))
-            category = opcode or re.sub(r"[.\d]+$", "", base) or base
-            detail, gflops = "", None
+            lookup = base
+            if opcode is None:
+                # Trace names sometimes drop the compiler's variant suffix.
+                for suf in (".remat", ".clone", ".remat2", ".remat_compressed"):
+                    if base + suf in index:
+                        lookup = base + suf
+                        opcode, line = index[lookup]
+                        break
+            category = re.sub(r"[.\d]+$", "", base) if opcode in (None, "fusion") \
+                else opcode
+            category = category or base
+            detail, gflops, gbytes = "", None, None
             if opcode == "convolution":
                 gflops = _conv_gflops(line, index)
                 detail = line.split(" = ")[1].split("(")[0] if " = " in line else ""
             elif opcode == "dot":
                 gflops = _dot_gflops(line, index)
                 detail = line.split(" = ")[1].split("(")[0] if " = " in line else ""
-            elif opcode == "fusion" or category == "fusion":
-                detail, gflops = _fusion_detail(base, hlo_text, index) if hlo_text else ("", None)
+            elif opcode == "fusion" or category.endswith("fusion"):
+                detail, gflops = _fusion_detail(lookup, hlo_text, index) if hlo_text else ("", None)
             elif opcode == "custom-call":
                 mm = re.search(r'custom_call_target="([^"]+)"', line)
                 detail = mm.group(1) if mm else ""
+            if line and gflops is None:
+                gbytes = _instr_gbytes(line, index)
             rec = agg[name] = OpRecord(name=name, category=category,
-                                       detail=detail, gflops=gflops)
+                                       detail=detail, gflops=gflops,
+                                       gbytes=gbytes)
         rec.total_us += dur
         rec.count += 1
 
@@ -339,29 +413,36 @@ def render_table(prof: ProfileResult, top: int = 30,
     sig: dict = {}
     for r in prof.ops:
         key = (r.category, r.detail)
-        us, gf, n = sig.get(key, (0.0, 0.0, 0))
+        us, gf, gb, n = sig.get(key, (0.0, 0.0, 0.0, 0))
         sig[key] = (us + r.total_us,
-                    gf + (r.gflops or 0.0) * r.count, n + 1)
+                    gf + (r.gflops or 0.0) * r.count,
+                    gb + (r.gbytes or 0.0) * r.count, n + 1)
     lines.append("-- by signature --")
-    for (cat, det), (us, gf, n) in sorted(sig.items(), key=lambda kv: -kv[1][0]):
-        # gf [GFLOP] / us [µs] = PFLOP/s; ×1e3 → TFLOP/s.
-        tfs = f"{gf / us * 1e3:8.1f}" if gf and us else " " * 8
+    for (cat, det), (us, gf, gb, n) in sorted(sig.items(), key=lambda kv: -kv[1][0]):
+        # gf [GFLOP] / us [µs] = PFLOP/s; ×1e3 → TFLOP/s. Same for GB/s.
+        if gf and us:
+            rate = f"{gf / us * 1e3:8.1f} TFLOP/s"
+        elif gb and us:
+            rate = f"{gb / us * 1e3:8.1f} GB/s   "
+        else:
+            rate = " " * 16
         lines.append(
-            f"  {us/1e3:9.2f} ms {100*us/t:5.1f}% {tfs} TFLOP/s"
+            f"  {us/1e3:9.2f} ms {100*us/t:5.1f}% {rate}"
             f"  {n:4d} insts  {cat} {det}"
         )
     lines.append(f"-- top {top} ops --")
-    lines.append(f"  {'us_total':>10} {'n':>5} {'%':>5} {'TFLOP/s':>8}  name / detail")
+    lines.append(f"  {'us_total':>10} {'n':>5} {'%':>5} {'rate':>8}  name / detail")
     for r in prof.ops[:top]:
-        tfs = ""
         if r.gflops and r.total_us:
             # gflops is per-execution; total_us spans r.count executions.
             # GFLOP/µs = PFLOP/s; ×1e3 → TFLOP/s.
-            tfs = f"{r.gflops * r.count / r.total_us * 1e3:8.1f}"
+            rate = f"{r.gflops * r.count / r.total_us * 1e3:7.1f}T"
+        elif r.gbytes and r.total_us:
+            rate = f"{r.gbytes * r.count / r.total_us * 1e3:6.1f}GB"
         else:
-            tfs = " " * 8
+            rate = " " * 8
         lines.append(
-            f"  {r.total_us:10.1f} {r.count:5d} {100*r.total_us/t:5.1f} {tfs}"
+            f"  {r.total_us:10.1f} {r.count:5d} {100*r.total_us/t:5.1f} {rate}"
             f"  {r.name}  [{r.category}] {r.detail}"
         )
     return "\n".join(lines)

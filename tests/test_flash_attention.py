@@ -129,3 +129,61 @@ def test_flash_backward_under_jit_and_vmap():
     g2 = jax.vmap(jax.grad(loss_x, argnums=(0, 1, 2)))(qe, ke, ve)
     for a, b_ in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-5, rtol=5e-5)
+
+
+# ---- head-packed (layout-free) kernel ----
+
+from group_attribution_for_diffusion_models_tpu.ops.attention import (  # noqa: E402
+    flash_attention_hp,
+)
+
+
+@pytest.mark.parametrize(
+    "b,sq,skv,h,d",
+    [
+        (2, 256, 256, 2, 64),   # self-attention, aligned
+        (1, 256, 77, 2, 40),    # cross-attention: ragged KV, sub-tile head dim
+        (1, 512, 512, 8, 40),   # the miniSD level-0 head geometry
+    ],
+)
+def test_hp_flash_matches_xla(b, sq, skv, h, d):
+    q, k, v = _qkv(jax.random.PRNGKey(10), b, sq, skv, h, d)
+    got = np.asarray(flash_attention_hp(q, k, v))
+    want = np.asarray(jax.nn.dot_product_attention(q, k, v))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.parametrize("skv", [256, 77])
+def test_hp_flash_backward_matches_xla(skv):
+    b, sq, h, d = 1, 256, 2, 40
+    q, k, v = _qkv(jax.random.PRNGKey(11), b, sq, skv, h, d)
+    w = jax.random.normal(jax.random.PRNGKey(12), (b, sq, h, d))
+
+    def loss_hp(q, k, v):
+        return jnp.sum(flash_attention_hp(q, k, v) * w)
+
+    def loss_xla(q, k, v):
+        return jnp.sum(jax.nn.dot_product_attention(q, k, v) * w)
+
+    g1 = jax.grad(loss_hp, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=3e-5, rtol=3e-5)
+
+
+def test_hp_flash_under_jit_and_vmap():
+    """The ensemble member axis: vmapped + jitted, values and grads."""
+    m = 2
+    qs, ks, vs = _qkv(jax.random.PRNGKey(13), m, 256, 256, 2, 32)
+    qs, ks, vs = (x[:, None] for x in (qs, ks, vs))  # (m, 1, s, h, d)
+
+    def loss(q, k, v):
+        return jnp.sum(flash_attention_hp(q, k, v) ** 2)
+
+    g = jax.jit(jax.vmap(jax.grad(loss, argnums=(0, 1, 2))))(qs, ks, vs)
+    g_ref = jax.vmap(
+        jax.grad(lambda q, k, v: jnp.sum(jax.nn.dot_product_attention(q, k, v) ** 2),
+                 argnums=(0, 1, 2))
+    )(qs, ks, vs)
+    for a, b_ in zip(g, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=3e-5, rtol=3e-5)

@@ -32,6 +32,15 @@ def test_pipeline_facade(tmp_path):
     imgs2 = pipe2.run_inference(n_samples=2, num_inference_steps=2)
     assert imgs2.shape == (2, 8, 8, 3)
 
+    # Repeated same-geometry calls reuse one compiled sampler (no re-trace):
+    # the subset-scoring loops call generate_images once per subset.
+    assert len(pipe._samplers) == 1
+    imgs3 = pipe.generate_images(3, seed=2, batch_size=2, num_inference_steps=2)
+    assert len(pipe._samplers) == 1
+    assert imgs3.shape == (3, 8, 8, 3)
+    pipe.generate_images(2, seed=2, batch_size=2, num_inference_steps=3)
+    assert len(pipe._samplers) == 2
+
 
 def test_journey_trak_features():
     from group_attribution_for_diffusion_models_tpu.attributions.methods.trak import (
