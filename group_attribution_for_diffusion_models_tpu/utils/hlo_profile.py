@@ -375,6 +375,13 @@ def profile_device_ops(
             elif opcode == "custom-call":
                 mm = re.search(r'custom_call_target="([^"]+)"', line)
                 detail = mm.group(1) if mm else ""
+            if not detail and line:
+                # Layout copies / reshapes / converts: attribute via the
+                # instruction's own op_name metadata so the "copy 5%" row
+                # names the JAX source op it serves.
+                detail = _op_source([line])
+                if detail:
+                    detail = f"src={detail}"
             if line and gflops is None:
                 gbytes = _instr_gbytes(line, index)
             rec = agg[name] = OpRecord(name=name, category=category,

@@ -74,3 +74,11 @@ def test_conv_gflops_window():
     # (rhs here is a stand-in param without 4 dims -> falls back, so just
     # check it returns a positive number rather than crashing).
     assert g is None or g > 0
+
+
+def test_toplevel_copy_gets_source_attribution():
+    # profile_device_ops labels bare copies/reshapes with their op_name
+    # metadata; exercise the same helper on a top-level copy line.
+    line = ('%copy.42 = bf16[4,64,1024,320]{3,2,1,0} copy(%p0), '
+            'metadata={op_name="jit(step)/jvp(UNet2D)/attn1/transpose"}')
+    assert _op_source([line]) == "attn1/transpose"
