@@ -118,7 +118,12 @@ def main():
     member_idx = [
         sample_removal("shapley", n, seed=s)[0] for s in range(NUM_MEMBERS)
     ]
-    tx = make_optimizer("adam", lr=1e-4)
+    # BENCH_OPT_FLAT=0 opts out of the flattened optimizer (see
+    # make_optimizer(flat=): per-leaf updates launch ~5 tiny kernels per
+    # leaf per step and launch overhead dominates the update cost).
+    tx = make_optimizer(
+        "adam", lr=1e-4, flat=os.environ.get("BENCH_OPT_FLAT", "1") == "1"
+    )
     trainer = EnsembleTrainer(
         apply_fn=model.apply,
         tx=tx,

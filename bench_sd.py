@@ -155,6 +155,11 @@ def main():
     else:
         tx = make_optimizer("adamw", lr=3e-4, lr_schedule="cosine",
                             total_steps=TRAIN_STEPS)
+    if os.environ.get("SD_OPT_FLAT", "0") == "1":
+        # Single-flat-vector optimizer state: the per-leaf form spends
+        # ~9% of the train step in per-LoRA-leaf requant reduces
+        # (docs/profile_sd_train.txt convert_reduce_fusion).
+        tx = optax.flatten(tx)
     opt_state = jax.vmap(tx.init)(stacked)
 
     # base/latents/ehs enter as jit ARGUMENTS: closure-captured arrays embed

@@ -69,6 +69,7 @@ def make_optimizer(
     total_steps: int = 0,
     warmup_steps: int = 0,
     maximize: bool = False,
+    flat: bool = False,
 ) -> optax.GradientTransformation:
     """Build the optax chain: clip -> adam/adamw [-> ascent for unlearning].
 
@@ -112,4 +113,17 @@ def make_optimizer(
         parts.append(adam8bit(sched))
     else:
         raise ValueError(f"unknown optimizer {name!r}")
-    return optax.chain(*parts)
+    tx = optax.chain(*parts)
+    if flat:
+        # Run the whole chain on ONE concatenated parameter vector. The
+        # per-leaf form launches a handful of tiny fused kernels per leaf
+        # per step (global-norm partial, moment update, absmax requant) —
+        # ~130 leaves x ~5 kernels on the CIFAR U-Net, and kernel-launch
+        # overhead, not HBM traffic, dominates (docs/profile_cifar_train.txt:
+        # multiply_reduce_fusion 4.9% / convert_reduce_fusion 9.3% on the SD
+        # step). Flattened, the update is a few large fusions whose cost is
+        # the irreducible state read/write. Quantized-optimizer block
+        # boundaries stop aligning with leaf boundaries, which only changes
+        # quantization noise, not semantics.
+        tx = optax.flatten(tx)
+    return tx

@@ -1,10 +1,25 @@
-"""On-chip microbench: head-packed vs transposed-layout flash attention.
+"""On-chip microbench: attention layout/kernel dispatch over the REAL shape grid.
 
-Compares fwd and fwd+bwd wall time at the miniSD attention geometries,
-including the XLA relayout cost that surrounds each kernel in the real
-model (inputs arrive in the projections' natural (B, S, H*D) layout).
+Three contenders at every (B, Sq, H, D, Skv) the registry's models actually
+hit (config/registry.py: CIFAR/celeba/miniSD/imagenette geometries, self- and
+cross-attention, at the bench batch sizes):
+
+  * xla — jax.nn.dot_product_attention (the XLA fused path)
+  * t   — ops.attention.flash_attention (transposed layout (B*H, D, S))
+  * hp  — ops.attention.flash_attention_hp (head-packed (B, S, H*D); needs
+          Sq % 256 == 0)
+
+All contenders are fed from the projections' natural packed (B, S, H*D)
+layout so each kernel pays its own real relayout cost, exactly as inside the
+model. Measures fwd and fwd+bwd, checks numerics between all pairs, prints a
+markdown table, and writes docs/attn_dispatch_table.json — the measured
+source of truth for `dot_product_attention`'s dispatch rule.
+
 Run on the TPU: python scripts/bench_hp_attention.py
+Env: ATTN_BENCH_ITERS (default 30), ATTN_BENCH_SMOKE=1 for a tiny CPU grid.
 """
+import json
+import os
 import time
 
 import jax
@@ -12,13 +27,46 @@ import jax.numpy as jnp
 import numpy as np
 
 from group_attribution_for_diffusion_models_tpu.ops.attention import (
+    _xla_attention,
     flash_attention,
     flash_attention_hp,
 )
 
+ITERS = int(os.environ.get("ATTN_BENCH_ITERS", "30"))
 
-def timed(fn, *args, iters=20):
-    fn(*args)[0].block_until_ready() if isinstance(fn(*args), tuple) else None
+
+# (B, Sq, H, D, Skv, note) — B is the real members*batch of the bench/CLI
+# configs, capped where the score matrix would blow 16 GB for the XLA path.
+def real_shape_grid():
+    return [
+        # CIFAR DDPM (bench.py: 8 members x batch 64), single-head d=256
+        # level-1 self-attn at 16x16 tokens.
+        (512, 256, 1, 256, 256, "cifar l1"),
+        # celeba 64px latents (batch 32), head dim 32: levels 1-3 + mid.
+        (32, 1024, 14, 32, 1024, "celeba l1"),
+        (32, 256, 21, 32, 256, "celeba l2"),
+        (32, 64, 28, 32, 64, "celeba l3/mid"),
+        # miniSD / imagenette LDM 32x32 latents (bench_sd: 4 members x
+        # batch 64), 8 heads, d = 40/80/160 at S = 1024/256/64.
+        (256, 1024, 8, 40, 1024, "sd l0 self"),
+        (256, 256, 8, 80, 256, "sd l1 self"),
+        (256, 64, 8, 160, 64, "sd l2/mid self"),
+        (256, 1024, 8, 40, 77, "sd l0 cross"),
+        (256, 256, 8, 80, 77, "sd l1 cross"),
+        (256, 64, 8, 160, 77, "sd l2 cross"),
+        # Larger-latent variants (512px -> 64x64): the shapes the round-3
+        # rule was derived from, kept for continuity.
+        (8, 4096, 8, 40, 4096, "sd64 l0 self"),
+        (8, 1024, 8, 80, 1024, "sd64 l1 self"),
+        (8, 4096, 8, 40, 77, "sd64 l0 cross"),
+    ]
+
+
+def smoke_shape_grid():
+    return [(2, 256, 2, 32, 256, "smoke self"), (2, 256, 2, 32, 77, "smoke cross")]
+
+
+def timed(fn, *args, iters=ITERS):
     out = fn(*args)
     jax.block_until_ready(out)
     t0 = time.perf_counter()
@@ -30,61 +78,80 @@ def timed(fn, *args, iters=20):
 
 def main():
     print("backend:", jax.default_backend(), jax.devices())
-    shapes = [
-        (2, 4096, 8, 40),   # miniSD level-0 self-attn
-        (2, 1024, 8, 80),   # level-1
-        (4, 4096, 8, 40),
-        (2, 4096, 8, 40, 77),  # cross-attn vs 77 text tokens
-    ]
-    for spec in shapes:
-        b, s, h, d = spec[:4]
-        skv = spec[4] if len(spec) > 4 else s
+    smoke = bool(os.environ.get("ATTN_BENCH_SMOKE"))
+    grid = smoke_shape_grid() if smoke else real_shape_grid()
+    rows = []
+    for b, s, h, d, skv, note in grid:
         rng = np.random.default_rng(0)
         # Natural packed layout as produced by the qkv projections.
         qp = jnp.asarray(rng.standard_normal((b, s, h * d)), jnp.bfloat16)
         kp = jnp.asarray(rng.standard_normal((b, skv, h * d)), jnp.bfloat16)
         vp = jnp.asarray(rng.standard_normal((b, skv, h * d)), jnp.bfloat16)
 
-        def split(x):
-            return x.reshape(x.shape[0], x.shape[1], h, d)
+        def split(x, sl):
+            return x.reshape(x.shape[0], sl, h, d)
 
-        @jax.jit
-        def fwd_t(q, k, v):
-            return flash_attention(split(q), split(k), split(v)).reshape(q.shape)
+        def make(kernel):
+            @jax.jit
+            def fwd(q, k, v):
+                return kernel(
+                    split(q, s), split(k, skv), split(v, skv)
+                ).reshape(q.shape)
 
-        @jax.jit
-        def fwd_hp(q, k, v):
-            return flash_attention_hp(split(q), split(k), split(v)).reshape(q.shape)
+            def loss(q, k, v):
+                return jnp.sum(fwd(q, k, v).astype(jnp.float32) ** 2)
 
-        def loss_t(q, k, v):
-            return jnp.sum(flash_attention(split(q), split(k), split(v)).astype(jnp.float32) ** 2)
+            return fwd, jax.jit(jax.grad(loss, argnums=(0, 1, 2)))
 
-        def loss_hp(q, k, v):
-            return jnp.sum(flash_attention_hp(split(q), split(k), split(v)).astype(jnp.float32) ** 2)
+        impls = {"xla": make(_xla_attention), "t": make(flash_attention)}
+        if s % 256 == 0:
+            impls["hp"] = make(flash_attention_hp)
 
-        grad_t = jax.jit(jax.grad(loss_t, argnums=(0, 1, 2)))
-        grad_hp = jax.jit(jax.grad(loss_hp, argnums=(0, 1, 2)))
-
-        # numerics
-        o_t = np.asarray(fwd_t(qp, kp, vp), np.float32)
-        o_hp = np.asarray(fwd_hp(qp, kp, vp), np.float32)
-        err_f = np.max(np.abs(o_t - o_hp))
-        g_t = grad_t(qp, kp, vp)
-        g_hp = grad_hp(qp, kp, vp)
+        outs, grads, res = {}, {}, {}
+        for name, (fwd, grad) in impls.items():
+            outs[name] = np.asarray(fwd(qp, kp, vp), np.float32)
+            grads[name] = grad(qp, kp, vp)
+            res[name] = {
+                "fwd_ms": round(timed(fwd, qp, kp, vp), 3),
+                "fwdbwd_ms": round(timed(grad, qp, kp, vp), 3),
+            }
+        err_f = max(
+            float(np.max(np.abs(outs["xla"] - o)))
+            for n, o in outs.items() if n != "xla"
+        )
         err_b = max(
-            float(jnp.max(jnp.abs(a.astype(jnp.float32) - b2.astype(jnp.float32))))
-            for a, b2 in zip(g_t, g_hp)
+            float(jnp.max(jnp.abs(a.astype(jnp.float32) - g.astype(jnp.float32))))
+            for n in impls if n != "xla"
+            for a, g in zip(grads["xla"], grads[n])
+        )
+        row = {
+            "B": b, "Sq": s, "H": h, "D": d, "Skv": skv, "note": note,
+            "impls": res,
+            "fwd_winner": min(res, key=lambda n: res[n]["fwd_ms"]),
+            "fwdbwd_winner": min(res, key=lambda n: res[n]["fwdbwd_ms"]),
+            "max_abs_err_fwd_vs_xla": round(err_f, 5),
+            "max_abs_err_bwd_vs_xla": round(err_b, 5),
+        }
+        rows.append(row)
+        cells = " ".join(
+            f"{n}:{v['fwd_ms']}/{v['fwdbwd_ms']}" for n, v in res.items()
+        )
+        print(
+            f"B{b:4d} S{s:5d} H{h:2d} D{d:3d} Skv{skv:5d} [{note:13s}] "
+            f"{cells}  -> fwd={row['fwd_winner']} bwd={row['fwdbwd_winner']} "
+            f"errF={err_f:.4f} errB={err_b:.4f}"
         )
 
-        ms_ft = timed(fwd_t, qp, kp, vp)
-        ms_fhp = timed(fwd_hp, qp, kp, vp)
-        ms_bt = timed(grad_t, qp, kp, vp)
-        ms_bhp = timed(grad_hp, qp, kp, vp)
-        print(
-            f"B{b} S{s} H{h} D{d} Skv{skv}: fwd t={ms_ft:.3f}ms hp={ms_fhp:.3f}ms "
-            f"({ms_ft/ms_fhp:.2f}x) | fwd+bwd t={ms_bt:.3f}ms hp={ms_bhp:.3f}ms "
-            f"({ms_bt/ms_bhp:.2f}x) | max|dF|={err_f:.4f} max|dG|={err_b:.4f}"
-        )
+    out_path = os.path.join(
+        os.path.dirname(__file__), "..", "docs", "attn_dispatch_table.json"
+    )
+    if not smoke:
+        with open(os.path.abspath(out_path), "w") as f:
+            json.dump(
+                {"backend": jax.default_backend(), "iters": ITERS, "rows": rows},
+                f, indent=1,
+            )
+        print(f"wrote {os.path.abspath(out_path)}")
 
 
 if __name__ == "__main__":

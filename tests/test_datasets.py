@@ -175,6 +175,36 @@ def test_templated_synthetic_classes_do_not_interpolate():
     assert ds.images.min() >= -1.0 and ds.images.max() <= 1.0
 
 
+def test_size_ramp_synthetic_label_distribution():
+    """The _sizes variant draws labels with p(class k) ∝ k+1 — the knob that
+    guarantees exact-Shapley truth spread under a fixed retrain budget (a
+    balanced game's short-retrain value is dominated by |remaining data|,
+    which is class-symmetric; a size ramp makes it carry ∝ n_k
+    heterogeneity). See data/datasets.py:272-282."""
+    ds = create_dataset("synthetic_4096x8_c8_tpl_mix_sizes")
+    counts = np.bincount(ds.labels, minlength=8).astype(np.float64)
+    expected = (np.arange(8) + 1) / 36.0 * len(ds)
+    # Multinomial draw: each count within 5 sigma of its expectation.
+    sigma = np.sqrt(expected * (1 - expected / len(ds)))
+    assert np.all(np.abs(counts - expected) < 5 * sigma), counts
+    # The ramp is the point: largest class ~8x the smallest (not uniform).
+    assert counts[7] > 4 * counts[0]
+    # Class-SIZE spread >= the ~10% relative spread the ground-truth
+    # enumeration needs its game values to inherit.
+    assert counts.std() / counts.mean() > 0.10
+    # Composes with the other tokens: templates + amplitude ramp intact.
+    f = ds.images.reshape(len(ds), -1)
+    a, b = f[ds.labels == 2][:2]
+    assert np.corrcoef(a, b)[0, 1] > 0.9
+    # Without the token the labels stay uniform.
+    ds_u = create_dataset("synthetic_4096x8_c8_tpl_mix")
+    counts_u = np.bincount(ds_u.labels, minlength=8)
+    assert counts_u.std() / counts_u.mean() < 0.10
+    # Deterministic.
+    ds2 = create_dataset("synthetic_4096x8_c8_tpl_mix_sizes")
+    assert np.array_equal(ds.labels, ds2.labels)
+
+
 def test_synthetic_class_count_token():
     """"c<k>" pins the synthetic class count (ground-truth enumeration runs
     need 2^k subsets to stay feasible)."""
