@@ -64,6 +64,12 @@ def parse_args(argv=None):
     parser.add_argument("--log_freq", type=int, default=0,
                         help="scan-chunk size in steps (keeps each device "
                              "dispatch short; 0 = whole run in one dispatch)")
+    parser.add_argument(
+        "--save_ckpts", action=argparse.BooleanOptionalAction, default=True,
+        help="checkpoint every subset member (train_ensemble --save_ckpts). "
+             "--no-save_ckpts skips the per-member device->host pulls for "
+             "mass runs — the DB behavior row is the product; the full/null "
+             "anchor models are always checkpointed.")
     return parser.parse_args(argv)
 
 
@@ -95,6 +101,8 @@ def _train_chunked(args, dist, seed_start, num, db):
             argv += ["--vqvae_weights", args.vqvae_weights]
         if args.by_class:
             argv += ["--by_class"]
+        if not args.save_ckpts:
+            argv += ["--no-save_ckpts"]
         train_ensemble.main(argv)
 
 

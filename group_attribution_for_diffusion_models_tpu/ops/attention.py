@@ -574,26 +574,135 @@ def flash_attention_hp(q, k, v):
     ).reshape(b, sq, h, d)
 
 
+# ---------------------------------------------------------------------------
+# Direction-mixed dispatch.
+#
+# The fastest FORWARD and the fastest BACKWARD implementation are not the
+# same kernel at several of the registry's real attention geometries
+# (scripts/bench_hp_attention.py; docs/attn_dispatch_table.json, v5e):
+# e.g. at miniSD level-0 (B256, S1024, H8, D40) XLA's fused attention wins
+# the forward 1.66x over the transposed Pallas kernel, while the Pallas
+# backwards beat XLA's vjp 2.1x. Because both Pallas backwards recompute
+# the softmax from (q, k, v) alone (no forward residuals beyond the
+# operands), the forward and backward can be chosen INDEPENDENTLY: a
+# custom_vjp runs the measured-best forward as the primal and the
+# measured-best backward as the cotangent rule.
+# ---------------------------------------------------------------------------
+
+
+def _hp_forward_bshd(q, k, v):
+    b, sq, h, d = q.shape
+    skv = k.shape[1]
+    return _hp_forward(
+        q.reshape(b, sq, h * d), k.reshape(b, skv, h * d),
+        v.reshape(b, skv, h * d), h, d,
+    ).reshape(b, sq, h, d)
+
+
+def _hp_backward_bshd(q, k, v, g):
+    b, sq, h, d = q.shape
+    skv = k.shape[1]
+    dq3, dk3, dv3 = _hp_backward(
+        q.reshape(b, sq, h * d), k.reshape(b, skv, h * d),
+        v.reshape(b, skv, h * d), g.reshape(b, sq, h * d), h, d,
+    )
+    return (
+        dq3.reshape(b, sq, h, d),
+        dk3.reshape(b, skv, h, d),
+        dv3.reshape(b, skv, h, d),
+    )
+
+
+def _xla_backward(q, k, v, g):
+    return jax.vjp(_xla_attention, q, k, v)[1](g)
+
+
+_ATTN_FWD = {"xla": _xla_attention, "t": _flash_forward, "hp": _hp_forward_bshd}
+_ATTN_BWD = {"xla": _xla_backward, "t": _flash_backward, "hp": _hp_backward_bshd}
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _attn_mixed(q, k, v, spec):
+    return _ATTN_FWD[spec[0]](q, k, v)
+
+
+def _attn_mixed_fwd(q, k, v, spec):
+    return _ATTN_FWD[spec[0]](q, k, v), (q, k, v)
+
+
+def _attn_mixed_bwd(spec, res, g):
+    return _ATTN_BWD[spec[1]](*res, g)
+
+
+_attn_mixed.defvjp(_attn_mixed_fwd, _attn_mixed_bwd)
+
+# Measured dispatch table over the REAL (Sq, H, D, cross?) grid the
+# registry's models hit, at the benches' batch sizes (v5e, bf16;
+# scripts/bench_hp_attention.py writes the full measurement to
+# docs/attn_dispatch_table.json — regenerate after kernel changes).
+# Values are (fwd_impl, bwd_impl). Shapes not listed fall back to the
+# conservative rule below. NOTE batch size moves the forward winner at
+# S=1024 (B32 -> t, B256 -> xla); entries are keyed by the geometry the
+# model family actually batches.
+_DISPATCH_TABLE = {
+    # CIFAR DDPM level-1 (single head, d=256): XLA wins both directions.
+    (256, 1, 256, False): ("xla", "xla"),
+    # celeba level-1 (B32): transposed fwd 1.94x, hp bwd 2.2x over XLA.
+    (1024, 14, 32, False): ("t", "hp"),
+    # celeba level-2: head-packed both directions.
+    (256, 21, 32, False): ("hp", "hp"),
+    # miniSD/imagenette level-0 self (B256): XLA fwd, Pallas bwd (2.1x).
+    (1024, 8, 40, False): ("xla", "hp"),
+    # miniSD/imagenette level-1 self: head-packed both (1.40x/1.36x).
+    (256, 8, 80, False): ("hp", "hp"),
+    # miniSD/imagenette cross-attention vs 77 text tokens: head-packed
+    # (1.37x/1.68x fwd at levels 0/1); level-2 (S=64) stays XLA.
+    (1024, 8, 40, True): ("hp", "hp"),
+    (256, 8, 80, True): ("hp", "hp"),
+    # 512px-latent variants (S=4096): transposed self, head-packed cross
+    # (t fwd 2.28x XLA at (8,4096,8,40); hp cross 3.3x).
+    (4096, 8, 40, False): ("t", "t"),
+    (4096, 8, 40, True): ("hp", "hp"),
+    (1024, 8, 80, False): ("hp", "hp"),
+}
+
+
 def dot_product_attention(
     q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray
 ) -> jnp.ndarray:
-    """Scaled dot-product attention on (B, S, H, D); picks a Pallas flash
-    kernel for the long-sequence LDM shapes, fused XLA attention otherwise.
-    Both kernels require the head dim to tile sublanes (d % 8 == 0 — true
-    for every config in the registry).
-
-    Layout dispatch is measured (scripts/bench_hp_attention.py, v5e, both
-    kernels fed from the projections' packed layout): head-packed wins at
-    d >= 64 (1.53-1.70x fwd at the miniSD level-1 (1024, 8, 80) shape) where
-    the wider head slices amortize its in-kernel block transposes, while at
-    d = 40/S = 4096 the transposed-layout kernel is ~1.1x faster — at small
-    head dims the QK^T contraction underuses the MXU (d/128 occupancy)
-    so neither layout's copy traffic dominates. GADM_FLASH_LAYOUT=hp|t
-    forces one (the hp path also wants a _BLOCK-aligned query length)."""
-    if q.shape[1] >= _FLASH_MIN_Q_LEN and q.shape[-1] % 8 == 0 and q.shape[-1] <= 256:
-        layout = os.environ.get("GADM_FLASH_LAYOUT", "auto")
-        use_hp = {"hp": True, "t": False}.get(layout, q.shape[-1] >= 64)
-        if use_hp and q.shape[1] % _BLOCK == 0:
+    """Scaled dot-product attention on (B, S, H, D) with measured per-shape,
+    per-direction kernel dispatch (see _DISPATCH_TABLE). The Pallas kernels
+    require the head dim to tile sublanes (d % 8 == 0 — true for every
+    config in the registry) and a _BLOCK-aligned query length for the
+    head-packed layout. GADM_FLASH_LAYOUT=hp|t|xla forces one
+    implementation for both directions."""
+    sq, h, d = q.shape[1], q.shape[2], q.shape[3]
+    skv = k.shape[1]
+    layout = os.environ.get("GADM_FLASH_LAYOUT", "auto")
+    pallas_ok = d % 8 == 0 and d <= 256
+    hp_ok = pallas_ok and sq % _BLOCK == 0
+    if layout != "auto":
+        if layout == "t" and pallas_ok:
+            return flash_attention(q, k, v)
+        if layout == "hp" and hp_ok:
             return flash_attention_hp(q, k, v)
+        return _xla_attention(q, k, v)
+    spec = _DISPATCH_TABLE.get((sq, h, d, skv != sq))
+    if spec is None:
+        # Unmeasured shape: Pallas flash for long sequences (2.1x XLA at
+        # 4096 tokens), XLA below — the pre-table rule.
+        if sq >= _FLASH_MIN_Q_LEN and pallas_ok:
+            spec = ("hp", "hp") if (d >= 64 and hp_ok) else ("t", "t")
+        else:
+            spec = ("xla", "xla")
+    if spec == ("xla", "xla"):
+        return _xla_attention(q, k, v)  # native vjp shares fwd residuals
+    if spec == ("t", "t"):
         return flash_attention(q, k, v)
-    return _xla_attention(q, k, v)
+    if spec == ("hp", "hp"):
+        return flash_attention_hp(q, k, v)
+    if spec[0] == "hp" and not hp_ok:
+        spec = ("t", spec[1])
+    if spec[1] == "hp" and not hp_ok:
+        spec = (spec[0], "t")
+    return _attn_mixed(q, k, v, spec)

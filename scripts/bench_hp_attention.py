@@ -77,6 +77,11 @@ def timed(fn, *args, iters=ITERS):
 
 
 def main():
+    from group_attribution_for_diffusion_models_tpu.utils.compilation_cache import (
+        enable_persistent_cache,
+    )
+
+    enable_persistent_cache()
     print("backend:", jax.default_backend(), jax.devices())
     smoke = bool(os.environ.get("ATTN_BENCH_SMOKE"))
     grid = smoke_shape_grid() if smoke else real_shape_grid()

@@ -187,3 +187,83 @@ def test_hp_flash_under_jit_and_vmap():
     )(qs, ks, vs)
     for a, b_ in zip(g, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=3e-5, rtol=3e-5)
+
+
+# ---- direction-mixed measured dispatch ----
+
+from group_attribution_for_diffusion_models_tpu.ops.attention import (  # noqa: E402
+    _DISPATCH_TABLE,
+    _attn_mixed,
+)
+
+
+@pytest.mark.parametrize("sq,h,d,cross", sorted(_DISPATCH_TABLE))
+def test_dispatch_table_shapes_match_xla(sq, h, d, cross):
+    """Every measured dispatch-table entry: dot_product_attention values AND
+    gradients equal the XLA reference at that (Sq, H, D, cross) geometry
+    (small batch, interpret mode off-TPU)."""
+    skv = 77 if cross else sq
+    q, k, v = _qkv(jax.random.PRNGKey(20), 1, sq, skv, h, d)
+    w = jax.random.normal(jax.random.PRNGKey(21), (1, sq, h, d))
+
+    got = np.asarray(dot_product_attention(q, k, v))
+    want = np.asarray(jax.nn.dot_product_attention(q, k, v))
+    np.testing.assert_allclose(got, want, atol=3e-5, rtol=3e-5)
+
+    g1 = jax.grad(
+        lambda q, k, v: jnp.sum(dot_product_attention(q, k, v) * w),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    g2 = jax.grad(
+        lambda q, k, v: jnp.sum(jax.nn.dot_product_attention(q, k, v) * w),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    for name, a, b_ in zip("qkv", g1, g2):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), atol=5e-5, rtol=5e-5,
+            err_msg=f"d{name} mismatch at ({sq},{h},{d},cross={cross})",
+        )
+
+
+@pytest.mark.parametrize("spec", [("xla", "hp"), ("t", "hp"), ("xla", "t"),
+                                  ("hp", "t")])
+def test_mixed_fwd_bwd_combos_match_xla(spec):
+    """The custom_vjp mixing any forward with any backward implementation is
+    exact: the Pallas backwards recompute softmax from (q, k, v) alone, so
+    the cotangent never depends on which forward produced the primal."""
+    q, k, v = _qkv(jax.random.PRNGKey(22), 2, 256, 256, 2, 40)
+    w = jax.random.normal(jax.random.PRNGKey(23), (2, 256, 2, 40))
+
+    got = np.asarray(_attn_mixed(q, k, v, spec))
+    want = np.asarray(jax.nn.dot_product_attention(q, k, v))
+    np.testing.assert_allclose(got, want, atol=3e-5, rtol=3e-5)
+
+    g1 = jax.grad(
+        lambda q, k, v: jnp.sum(_attn_mixed(q, k, v, spec) * w),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    g2 = jax.grad(
+        lambda q, k, v: jnp.sum(jax.nn.dot_product_attention(q, k, v) * w),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    for a, b_ in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=5e-5, rtol=5e-5)
+
+
+def test_mixed_under_jit_and_vmap():
+    """The ensemble-member vmap path through the mixed custom_vjp."""
+    qs, ks, vs = _qkv(jax.random.PRNGKey(24), 2, 256, 256, 2, 40)
+    qs, ks, vs = (x[:, None] for x in (qs, ks, vs))
+
+    def loss(q, k, v):
+        return jnp.sum(_attn_mixed(q, k, v, ("xla", "hp")) ** 2)
+
+    g = jax.jit(jax.vmap(jax.grad(loss, argnums=(0, 1, 2))))(qs, ks, vs)
+    g_ref = jax.vmap(
+        jax.grad(lambda q, k, v: jnp.sum(jax.nn.dot_product_attention(q, k, v) ** 2),
+                 argnums=(0, 1, 2))
+    )(qs, ks, vs)
+    for a, b_ in zip(g, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=5e-5, rtol=5e-5)
