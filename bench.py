@@ -118,11 +118,14 @@ def main():
     member_idx = [
         sample_removal("shapley", n, seed=s)[0] for s in range(NUM_MEMBERS)
     ]
-    # BENCH_OPT_FLAT=0 opts out of the flattened optimizer (see
-    # make_optimizer(flat=): per-leaf updates launch ~5 tiny kernels per
-    # leaf per step and launch overhead dominates the update cost).
+    # BENCH_OPT_FLAT=1 opts into the flattened optimizer
+    # (make_optimizer(flat=)). MEASURED ON-CHIP AND DEFAULTED OFF: flat
+    # regressed this bench 701.8 -> 645.3 passes/h (train 36.9 -> 40.6 s)
+    # — optax.flatten's per-step gather/scatter of ~130 leaves into one
+    # vector costs more HBM traffic than the per-leaf kernel overhead it
+    # removes at this 35.7M x 8-member scale.
     tx = make_optimizer(
-        "adam", lr=1e-4, flat=os.environ.get("BENCH_OPT_FLAT", "1") == "1"
+        "adam", lr=1e-4, flat=os.environ.get("BENCH_OPT_FLAT", "0") == "1"
     )
     trainer = EnsembleTrainer(
         apply_fn=model.apply,

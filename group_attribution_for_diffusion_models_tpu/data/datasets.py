@@ -270,16 +270,20 @@ def make_synthetic(
     ("synthetic_<n>x<s>_tpl").
 
     `size_ramp` draws labels with p(class k) ∝ k+1 instead of uniformly
-    ("synthetic_<n>x<s>_sizes", combinable with the others). This is the
-    knob that GUARANTEES exact-Shapley truth spread under a fixed retrain
-    budget: with equal class sizes, a short-retrain game's value is
-    dominated by |remaining data| — a class-symmetric quantity whose
-    Shapley values are near-uniform no matter how distinct the class
-    CONTENT is (measured: std/|mean| ≈ 2.4% on the balanced c8 template
-    game, docs/groundtruth_chip_c8_summary.json). A K-fold class-size ramp
-    makes even that size effect carry ∝ n_k heterogeneity, so exact values
-    spread ≥ the ramp ratio and correlation against them is no longer
-    noise-dominated (VERDICT round-2 "What's missing" #4).
+    ("synthetic_<n>x<s>_sizes", combinable with the others), giving the
+    exact-Shapley game ∝ n_k heterogeneity on top of class content.
+    MEASURED CAVEAT (on-chip c8 enumeration,
+    docs/groundtruth_chip_c8_sizes_summary.json): the ramp ALONE does not
+    rescue truth spread — at the mid-noise eval band (t in [100,600)) every
+    200-step subset model reaches ~the same probe loss (game range ~7% of
+    v1) because mid-t eps prediction generalizes across these statistically
+    similar classes, so exact values stay near-uniform (0.95% relative
+    spread). What moves the game is the EVAL BAND: at t in [0,100) the
+    probe is nearly clean and eps prediction requires knowing the probe's
+    template, so unseen-class probes stay expensive and the same dataset's
+    exact values spread 38.7% relative (c6 CPU enumeration, paired-KernelSHAP
+    Pearson 0.89 at 62 fit subsets). Quality demos should combine _sizes
+    with --eval_t_max ~100.
     """
     rng = np.random.RandomState(seed)
     images = rng.uniform(-1.0, 1.0, size=(n, size, size, channels)).astype(np.float32)
