@@ -107,6 +107,41 @@ class GroupNormSiLU(nn.Module):
         )
 
 
+@jax.custom_vjp
+def _conv1x1_mixed(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
+    """1x1 conv with a conv forward and a matmul backward.
+
+    Forward stays `conv_general_dilated` so XLA keeps fusing it with the
+    residual add / surrounding elementwise (lowering the forward as a dot
+    measured 702->663 passes/h on the CIFAR bench — see Conv1x1 below).
+    Backward is expressed as einsums instead: under the ensemble vmap the
+    kernel carries a leading member axis and XLA lowers the transposed-conv
+    dgrad as a grouped convolution running at ~20 TFLOP/s on v5e
+    (docs/profile_cifar_train.txt: the [8x64x32x32xC]*[1x1x8xCxD] rows,
+    ~4.5% of the step), while the identical contraction as a batched dot
+    runs at ~180. custom_vjp composes with vmap: the einsum rules batch
+    over the member axis automatically.
+    """
+    return jax.lax.conv_general_dilated(
+        x, kernel, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+
+
+def _conv1x1_mixed_fwd(x, kernel):
+    return _conv1x1_mixed(x, kernel), (x, kernel)
+
+
+def _conv1x1_mixed_bwd(res, dy):
+    x, kernel = res
+    k = kernel[0, 0]  # (Cin, Cout)
+    dx = jnp.einsum("nhwd,cd->nhwc", dy, k).astype(x.dtype)
+    dk = jnp.einsum("nhwc,nhwd->cd", x, dy).astype(kernel.dtype)
+    return dx, dk[None, None]
+
+
+_conv1x1_mixed.defvjp(_conv1x1_mixed_fwd, _conv1x1_mixed_bwd)
+
+
 class Conv1x1(nn.Module):
     """1x1 convolution evaluated as a channel matmul.
 
@@ -139,19 +174,32 @@ class Conv1x1(nn.Module):
             else None
         )
         x, kernel, bias = nn.dtypes.promote_dtype(x, kernel, bias, dtype=self.dtype)
-        if os.environ.get("GADM_CONV1X1", "0") != "1":
-            # Default lane: the plain conv lowering. Measured on v5e: the
-            # einsum lowering regresses the CIFAR ensemble bench 702 -> 663
-            # passes/h (XLA fuses the 1x1 conv with the residual add and
-            # surrounding elementwise; the dot_general form breaks that
-            # fusion), despite the grouped-conv HLOs showing lower raw
-            # TFLOP/s. Keep the dot lane opt-in via GADM_CONV1X1=1.
+        lane = os.environ.get("GADM_CONV1X1", "0")
+        if lane == "1":
+            y = jnp.einsum("...c,cd->...d", x, kernel[0, 0])
+        elif lane == "mixed":
+            # "mixed": conv forward (keeps the epilogue fusion), einsum
+            # backward — built against the ~20 TFLOP/s grouped-conv dgrads
+            # under the ensemble vmap (docs/profile_cifar_train.txt), but
+            # MEASURED NEUTRAL-TO-WORSE on v5e: XLA lowers the vmapped
+            # backward einsums as convert+multiply+reduce fusions rather
+            # than MXU dots (a new 14% convert_reduce_fusion category,
+            # ~equal to the grouped-conv time it replaced). Kept opt-in for
+            # future XLA versions; see _conv1x1_mixed.
+            y = _conv1x1_mixed(
+                x.reshape((-1,) + x.shape[-3:]), kernel
+            ).reshape(x.shape[:-1] + (self.features,))
+        else:
+            # Default lane: plain conv lowering fwd+bwd. Measured on v5e:
+            # the full einsum lowering (GADM_CONV1X1=1) regresses the CIFAR
+            # ensemble bench 702 -> 663 passes/h (XLA fuses the 1x1 conv
+            # with the residual add and surrounding elementwise; the
+            # dot_general form breaks that fusion), despite the grouped-conv
+            # HLOs showing lower raw TFLOP/s.
             y = jax.lax.conv_general_dilated(
                 x.reshape((-1,) + x.shape[-3:]), kernel, (1, 1), "VALID",
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
             ).reshape(x.shape[:-1] + (self.features,))
-        else:
-            y = jnp.einsum("...c,cd->...d", x, kernel[0, 0])
         if bias is not None:
             y = y + bias
         return y

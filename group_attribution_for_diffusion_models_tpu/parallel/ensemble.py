@@ -185,6 +185,7 @@ class EnsembleTrainer:
             ema_max_decay=self.ema_max_decay,
             ema_power=self.ema_power,
             pmean_axis="data" if (use_shard_map and data_size > 1) else None,
+            metric_norms=False,
         )
 
         # Data tables enter as jit ARGUMENTS, not closure constants: captured

@@ -61,6 +61,7 @@ def make_train_step(
     ema_power: float = 0.75,
     use_antithetic: bool = True,
     pmean_axis: Optional[str] = None,
+    metric_norms: bool = True,
 ):
     """Build the jittable train step for a model/schedule/optimizer triple.
 
@@ -68,6 +69,12 @@ def make_train_step(
     optimizer update — for manual (shard_map) data parallelism, where each
     shard computes on its slice of the batch and the psum is explicit
     instead of inserted by GSPMD.
+
+    `metric_norms`: include grad/param global norms in the metrics dict.
+    Off in the ensemble hot loop — the param-norm reduce alone re-reads the
+    full fp32 parameter set every step (~1.1 GB HBM at the 8x35.7M bench
+    config; the 4.9% `multiply_reduce_fusion` row in
+    docs/profile_cifar_train.txt), and no ensemble consumer logs norms.
     """
 
     def train_step(
@@ -115,11 +122,10 @@ def make_train_step(
         new_state = TrainState(
             params=params, ema_params=ema_params, opt_state=opt_state, step=step
         )
-        metrics = {
-            "loss": loss,
-            "grad_norm": optax.global_norm(grads),
-            "param_norm": optax.global_norm(params),
-        }
+        metrics = {"loss": loss}
+        if metric_norms:
+            metrics["grad_norm"] = optax.global_norm(grads)
+            metrics["param_norm"] = optax.global_norm(params)
         return new_state, metrics
 
     return train_step

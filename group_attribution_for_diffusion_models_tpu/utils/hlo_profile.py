@@ -293,8 +293,14 @@ def _fusion_detail(name: str, hlo_text: str, index) -> tuple:
         detail += " " + ";".join(shapes[:2])
     else:
         # Memory-bound fusion: name the JAX source op so reduce/elementwise
-        # time is attributable (e.g. GN stats vs optimizer vs loss).
+        # time is attributable (e.g. GN stats vs optimizer vs loss). Newer
+        # XLA strips per-instruction metadata from fused computation bodies
+        # after fusion; fall back to the fusion instruction's own op_name.
         src = _op_source(body_lines)
+        if not src:
+            ent = index.get(name)
+            if ent:
+                src = _op_source([ent[1]])
         if src:
             detail += f" src={src}"
     return (detail or "elementwise"), (gflops or None)
