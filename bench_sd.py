@@ -61,6 +61,14 @@ REMAT = os.environ.get("SD_REMAT", "1") == "1"
 # recomputing whole blocks measured 40.52 passes/h vs 39.49 for full-block
 # remat (same chip, same day; v5e, 4 members x batch 64).
 REMAT_POLICY = os.environ.get("SD_REMAT_POLICY", "convs")
+# Gradient microbatching: accumulate the member's batch-64 gradient over
+# BATCH/SD_MICROBATCH sequential slices (lax.scan, so only one slice's
+# activations are ever live). Identical training trajectory to the
+# whole-batch step modulo fp summation order (the MSE mean decomposes);
+# what it buys is activation memory — the members/chip ceiling is
+# activation-bound: 5 members whole-batch OOMs 16 GB HBM by just 76 MB,
+# 6 by 387 MB (docs/sd_members_table.jsonl). 0 = whole-batch step.
+MICROBATCH = int(os.environ.get("SD_MICROBATCH", "0"))
 BASELINE_PASSES_PER_HOUR = 3600.0 / 646.0  # reference sparse-gd total
 
 
@@ -172,14 +180,39 @@ def main():
         t = jax.random.randint(k_t, (BATCH,), 0, sched_spec.num_train_timesteps)
         noise = jax.random.normal(k_n, lat.shape)
 
-        def loss_fn(lo):
-            x_t = add_noise(schedule, lat, noise, t)
+        def loss_fn(lo, lat_i, noise_i, t_i, ehs_i):
+            x_t = add_noise(schedule, lat_i, noise_i, t_i)
             eps = model.apply(
-                {"params": base, "lora": lora_collection(lo)}, x_t, t, ehs_b
+                {"params": base, "lora": lora_collection(lo)}, x_t, t_i, ehs_i
             )
-            return jnp.mean((eps - noise) ** 2)
+            return jnp.mean((eps - noise_i) ** 2)
 
-        loss, grads = jax.value_and_grad(loss_fn)(lora)
+        if MICROBATCH and MICROBATCH < BATCH:
+            # Sequential gradient accumulation over equal batch slices: the
+            # scan carry is the (small) LoRA grad tree, so slice activations
+            # are freed between iterations instead of coexisting.
+            nm = BATCH // MICROBATCH
+            xs = (
+                lat.reshape((nm, MICROBATCH) + lat.shape[1:]),
+                noise.reshape((nm, MICROBATCH) + noise.shape[1:]),
+                t.reshape(nm, MICROBATCH),
+            )
+            ehs_i = ehs_b[:MICROBATCH]
+
+            def micro(carry, sl):
+                g_acc, l_acc = carry
+                l, g = jax.value_and_grad(loss_fn)(lora, *sl, ehs_i)
+                g_acc = jax.tree_util.tree_map(jnp.add, g_acc, g)
+                return (g_acc, l_acc + l), None
+
+            zero = jax.tree_util.tree_map(jnp.zeros_like, lora)
+            (g_sum, l_sum), _ = jax.lax.scan(micro, (zero, 0.0), xs)
+            grads = jax.tree_util.tree_map(lambda g: g / nm, g_sum)
+            loss = l_sum / nm
+        else:
+            loss, grads = jax.value_and_grad(
+                lambda lo: loss_fn(lo, lat, noise, t, ehs_b)
+            )(lora)
         updates, opt_st = tx.update(grads, opt_st, lora)
         return optax.apply_updates(lora, updates), opt_st, loss
 
