@@ -73,12 +73,20 @@ def main():
         v1, v0 = float(y_fit.max()), float(y_fit.min())
     print(f"# fit rows {len(x_fit)}, test rows {len(x_test)}, v1={v1}, v0={v0}")
 
+    # The reference evaluates on 100 subsets x 3 independent seed groups
+    # (shapley_lds.py:69,158-166) and reports mean +- CI across groups;
+    # split the 300 consecutive test seeds into 3 blocks of 100 the same way.
+    n_grp = 3 if len(x_test) >= 3 else 1
+    b = len(x_test) // n_grp
+    groups = [(x_test[i * b:(i + 1) * b], y_test[i * b:(i + 1) * b])
+              for i in range(n_grp)]
+
     out = {"dataset": dataset, "behavior": behavior, "v1": v1, "v0": v0,
-           "num_test": int(len(x_test)), "curve": []}
+           "num_test": int(len(x_test)), "test_groups": n_grp, "curve": []}
     for n in (32, 64, 128, 250, 374, len(x_fit)):
         n = min(n, len(x_fit))
         attrs = data_shapley(n_units, x_fit[:n], y_fit[:n], v1, v0).ravel()
-        mean, ci = evaluate_lds(attrs, [(x_test, y_test)])
+        mean, ci = evaluate_lds(attrs, groups)
         out["curve"].append({"fit": int(n), "lds": round(mean, 2),
                              "ci": round(ci, 2)})
         print(f"fit={n:4d}  LDS = {mean:6.2f} +- {ci:.2f}")
