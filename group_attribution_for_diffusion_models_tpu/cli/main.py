@@ -119,7 +119,10 @@ def main(argv=None):
         method_base, 1000
     )
     batch_size = args.batch_size or cfg.train.batch_size
-    ckpt_freq = args.ckpt_freq or cfg.train.ckpt_freq.get(method_base, 10000)
+    ckpt_freq = (
+        args.ckpt_freq if args.ckpt_freq is not None
+        else cfg.train.ckpt_freq.get(method_base, 10000)
+    )
 
     model_dir = model_output_dir(
         args.outdir, args.dataset, args.method, args.removal_dist,
@@ -298,7 +301,12 @@ def main(argv=None):
     # In-training EMA inference hook (reference main.py:773-788): every
     # sample_freq steps, DDIM-sample a small grid from the EMA params and
     # save it under <model_dir>/samples/.
-    sample_freq = args.sample_freq or cfg.train.sample_freq.get(method_base, 0)
+    # `0` must mean "never sample", not "fall back to the config default" —
+    # mass pipeline runs pass it to keep the hot loop free of DDIM grids.
+    sample_freq = (
+        args.sample_freq if args.sample_freq is not None
+        else cfg.train.sample_freq.get(method_base, 0)
+    )
     sampling_time = 0.0
 
     # The grid sampler is built (and its decode_fn loaded) once and jitted,
@@ -429,7 +437,7 @@ def main(argv=None):
                     t_s = time.time()
                     save_sample_grid(state, step_i)
                     sampling_time += time.time() - t_s
-                if step_i % ckpt_freq == 0 or step_i == training_steps:
+                if (ckpt_freq and step_i % ckpt_freq == 0) or step_i == training_steps:
                     save_checkpoint(
                         model_dir, step_i, state, remaining_idx, removed_idx,
                         total_steps_time + (time.time() - t_start) - sampling_time,
@@ -451,7 +459,7 @@ def main(argv=None):
                     t_s = time.time()
                     save_sample_grid(state, step_i + 1)
                     sampling_time += time.time() - t_s
-                if (step_i + 1) % ckpt_freq == 0 or step_i + 1 == training_steps:
+                if (ckpt_freq and (step_i + 1) % ckpt_freq == 0) or step_i + 1 == training_steps:
                     save_checkpoint(
                         model_dir, step_i + 1, state, remaining_idx, removed_idx,
                         total_steps_time + (time.time() - t_start) - sampling_time,

@@ -21,7 +21,7 @@ mkdir -p "$OUT"
 python -m group_attribution_for_diffusion_models_tpu.cli.main \
   --dataset "$DATASET" --method retrain --removal_dist full \
   --training_steps "$STEPS" --batch_size 64 --outdir "$OUT" --db "$DB" \
-  --log_freq 200
+  --log_freq "$STEPS" --sample_freq 0 --scan_chunk 100
 
 # 2) class-level datamodel test subsets with the low-t eval behavior.
 python -m group_attribution_for_diffusion_models_tpu.cli.train_ensemble \
