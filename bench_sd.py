@@ -69,6 +69,11 @@ REMAT_POLICY = os.environ.get("SD_REMAT_POLICY", "convs")
 # activation-bound: 5 members whole-batch OOMs 16 GB HBM by just 76 MB,
 # 6 by 387 MB (docs/sd_members_table.jsonl). 0 = whole-batch step.
 MICROBATCH = int(os.environ.get("SD_MICROBATCH", "0"))
+if MICROBATCH and BATCH % MICROBATCH:
+    raise SystemExit(
+        f"SD_MICROBATCH={MICROBATCH} must divide SD_BATCH={BATCH} "
+        "(the batch is reshaped into equal accumulation slices)"
+    )
 BASELINE_PASSES_PER_HOUR = 3600.0 / 646.0  # reference sparse-gd total
 
 
@@ -190,18 +195,21 @@ def main():
         if MICROBATCH and MICROBATCH < BATCH:
             # Sequential gradient accumulation over equal batch slices: the
             # scan carry is the (small) LoRA grad tree, so slice activations
-            # are freed between iterations instead of coexisting.
+            # are freed between iterations instead of coexisting. The
+            # conditioning rides the scan xs like lat/noise/t so each slice
+            # trains against ITS OWN embeddings (with per-example captions,
+            # reusing slice 0's would silently miscondition slices 1..n).
             nm = BATCH // MICROBATCH
             xs = (
                 lat.reshape((nm, MICROBATCH) + lat.shape[1:]),
                 noise.reshape((nm, MICROBATCH) + noise.shape[1:]),
                 t.reshape(nm, MICROBATCH),
+                ehs_b.reshape((nm, MICROBATCH) + ehs_b.shape[1:]),
             )
-            ehs_i = ehs_b[:MICROBATCH]
 
             def micro(carry, sl):
                 g_acc, l_acc = carry
-                l, g = jax.value_and_grad(loss_fn)(lora, *sl, ehs_i)
+                l, g = jax.value_and_grad(loss_fn)(lora, *sl)
                 g_acc = jax.tree_util.tree_map(jnp.add, g_acc, g)
                 return (g_acc, l_acc + l), None
 
@@ -344,6 +352,10 @@ def main():
         "remat": REMAT,
         "remat_policy": REMAT_POLICY,
         "scan_chunk": chunk,
+        # Rows land in docs/sd_members_table.jsonl; a microbatched run has a
+        # different activation footprint than a whole-batch one and must be
+        # distinguishable in the OOM-bracket evidence.
+        "microbatch": MICROBATCH,
         "train_model_tflops_per_s": (
             round(train_model_tflop / train_s, 1) if train_s else None),
         "sample_model_tflops_per_s": round(sample_model_tflop / sample_s, 1),

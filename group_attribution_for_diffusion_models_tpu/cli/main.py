@@ -119,6 +119,12 @@ def main(argv=None):
         method_base, 1000
     )
     batch_size = args.batch_size or cfg.train.batch_size
+    # --ckpt_freq 0 suppresses INTERMEDIATE checkpoints only: the final one
+    # is still written (the `or step_i == training_steps` clause in the
+    # train loop) because the trained model is the run's product — every
+    # downstream consumer (attribute.py --load, unlearn --load, the sketch
+    # pipeline) resolves it via get_max_steps. This is deliberately
+    # asymmetric with --sample_freq 0, which truly means "never sample".
     ckpt_freq = (
         args.ckpt_freq if args.ckpt_freq is not None
         else cfg.train.ckpt_freq.get(method_base, 10000)

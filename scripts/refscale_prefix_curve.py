@@ -60,13 +60,25 @@ def main():
     x_test, y_test = rows_to_xy(db, dataset, "datamodel", 5000, 5000 + 10_000,
                                 n_units, labels, behavior)
 
+    # The v1 anchor must come from the full-distribution row at the SAME
+    # step budget as the fit rows (shapley_pipeline.py matches
+    # training_steps == v1_steps); a DB holding full-model rows at several
+    # budgets would otherwise hand back whichever was appended last and
+    # shift the whole curve. Budget from argv[3] or the fit rows themselves.
+    v1_steps = int(sys.argv[3]) if len(sys.argv) > 3 else None
+    if v1_steps is None:
+        fit_steps = [rec.get("training_steps") for rec in filter_records(
+            db, {"dataset": dataset, "removal_dist": "shapley_paired"})
+            if rec.get("training_steps")]
+        v1_steps = max(set(fit_steps), key=fit_steps.count) if fit_steps else None
+
     v1 = v0 = None
     for rec in filter_records(db, {"dataset": dataset, "removal_dist": "full"}):
         if rec.get(behavior) is None:
             continue
         if rec.get("training_steps") == 0:
             v0 = float(rec[behavior])
-        else:
+        elif v1_steps is None or rec.get("training_steps") == v1_steps:
             v1 = float(rec[behavior])
     if v1 is None or v0 is None:
         print("WARNING: anchors missing (run still in flight?); y-range fallback")
