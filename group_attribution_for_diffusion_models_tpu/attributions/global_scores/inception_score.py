@@ -22,6 +22,8 @@ def inception_score_from_logits(
     probs = np.exp(logits)
     probs /= probs.sum(axis=1, keepdims=True)
 
+    # Fewer samples than splits would yield empty chunks (nan scores).
+    splits = max(1, min(splits, len(probs)))
     scores = []
     for chunk in np.array_split(probs, splits):
         marginal = chunk.mean(axis=0, keepdims=True)

@@ -263,6 +263,20 @@ def load_inception(
         variables = model.init(
             jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3))
         )
+        # He-rescale the conv stack (flax's lecun_normal lacks the ReLU
+        # factor): through ~90 conv+ReLU layers the default init attenuates
+        # activation variance to ~3e-4, making pool3 features effectively
+        # CONSTANT — FID between any two sample sets rounds to 0 and carries
+        # no signal. With the sqrt(2) gain the random tower is a
+        # variance-preserving random-feature extractor (measured: feature
+        # std ~0.5; FID 266 between distinct noise distributions vs 0.003
+        # for near-identical sets), so zero-egress runs get a deterministic,
+        # signal-bearing FID that real converted weights drop in over.
+        variables = jax.tree_util.tree_map_with_path(
+            lambda p, x: x * np.sqrt(2.0)
+            if p[-1].key == "kernel" and x.ndim == 4 else x,
+            variables,
+        )
     return model, variables
 
 

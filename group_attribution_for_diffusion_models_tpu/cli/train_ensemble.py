@@ -57,6 +57,21 @@ def parse_args(argv=None):
                         help="shared pretrained/pruned start point (sparse-FT)")
     parser.add_argument("--n_samples", type=int, default=0,
                         help="per-member samples to generate after training")
+    parser.add_argument("--score", type=str, default="none",
+                        choices=["none", "fid", "is", "fid_is"],
+                        help="score each member's generated samples INSIDE "
+                             "the ensemble loop (needs --n_samples > 0): "
+                             "one InceptionV3 pass per member yields FID "
+                             "features and IS logits, written to the DB row "
+                             "as fid_value / is. This is the reference's "
+                             "per-subset sampling+scoring cost "
+                             "(calculate_global_scores.py:160-482) paid "
+                             "in-pipeline instead of as a separate sweep.")
+    parser.add_argument("--inception_weights", type=str, default=None)
+    parser.add_argument("--ref_stats", type=str, default=None,
+                        help="reference-set Inception stats cache (computed "
+                             "from the training set and saved here if "
+                             "absent; shared across chunked invocations)")
     parser.add_argument("--eval_loss", action="store_true", default=False,
                         help="record a deterministic eval loss per member: "
                              "diffusion loss on a fixed probe batch with "
@@ -169,6 +184,12 @@ def main(argv=None):
                 if (rec.get("eval_t_min", args.eval_t_min) != args.eval_t_min
                         or rec.get("eval_t_max", args.eval_t_max)
                         != args.eval_t_max):
+                    continue
+                # A row trained without in-loop scoring does not satisfy a
+                # scored run: the behavior value is the product.
+                if "fid" in args.score and rec.get("fid_value") is None:
+                    continue
+                if "is" in args.score and rec.get("is") is None:
                     continue
                 return True
         return False
@@ -456,6 +477,55 @@ def main(argv=None):
         sample_time = time.time() - t_start
         print(f"sampled {samples.shape} in {sample_time:.1f}s")
 
+    fid_vals = is_vals = None
+    scoring_time = 0.0
+    if args.score != "none":
+        if args.n_samples <= 0:
+            raise SystemExit(f"--score {args.score} needs --n_samples > 0")
+        from ..attributions.global_scores import (
+            calculate_fid_from_features,
+            compute_feature_stats,
+            inception_score_from_logits,
+            load_inception,
+            load_stats,
+            make_feature_fn,
+            save_stats,
+        )
+
+        t_start = time.time()
+        inception, inc_vars = load_inception(args.inception_weights)
+        extract = make_feature_fn(
+            inception, inc_vars, batch_size=min(args.n_samples, 256)
+        )
+        samples3 = (
+            np.repeat(samples, 3, axis=-1) if samples.shape[-1] == 1 else samples
+        )
+        ref_stats = None
+        if "fid" in args.score:
+            if args.ref_stats and os.path.exists(args.ref_stats):
+                ref_stats = load_stats(args.ref_stats)
+            else:
+                ref_imgs = dataset.images[:2048] / 2.0 + 0.5
+                if ref_imgs.shape[-1] == 1:
+                    ref_imgs = np.repeat(ref_imgs, 3, axis=-1)
+                ref_feats, _ = extract(ref_imgs)
+                ref_stats = compute_feature_stats(ref_feats)
+                if args.ref_stats:
+                    save_stats(args.ref_stats, *ref_stats)
+        fid_vals, is_vals = [], []
+        for m in range(len(seeds)):
+            feats, logits = extract(samples3[m])
+            fid_vals.append(
+                calculate_fid_from_features(feats, ref_stats=ref_stats)
+                if ref_stats is not None else None
+            )
+            is_vals.append(inception_score_from_logits(logits)[0])
+        scoring_time = time.time() - t_start
+        print(
+            f"scored {len(seeds)} members in {scoring_time:.1f}s "
+            f"(fid={[None if v is None else round(v, 3) for v in fid_vals]})"
+        )
+
     for m, seed in enumerate(seeds):
         remaining_idx, removed_idx = removals[m]
         model_dir = model_output_dir(
@@ -479,10 +549,16 @@ def main(argv=None):
             removal_seed=seed,
             loss=float(losses[m]),
             eval_loss=float(eval_losses[m]) if eval_losses is not None else None,
+            fid_value=(
+                float(fid_vals[m])
+                if fid_vals is not None and fid_vals[m] is not None else None
+            ),
+            **{"is": float(is_vals[m]) if is_vals is not None else None},
             remaining_idx=remaining_idx,
             removed_idx=removed_idx,
             total_steps_time=train_time / len(seeds),
             sampling_time=sample_time / max(len(seeds), 1),
+            scoring_time=scoring_time / max(len(seeds), 1),
             model_dir=model_dir,
         )
         append_record(db, row)

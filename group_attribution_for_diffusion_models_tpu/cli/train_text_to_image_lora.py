@@ -99,6 +99,17 @@ def parse_args(argv=None):
     parser.add_argument("--max_train_steps", type=int, default=200)
     parser.add_argument("--train_batch_size", type=int, default=64)
     parser.add_argument("--snr_gamma", type=float, default=None)
+    parser.add_argument("--microbatch", type=int, default=0,
+                        help="gradient-accumulation slice size: each member "
+                             "accumulates its batch gradient over "
+                             "batch/microbatch sequential slices (lax.scan, "
+                             "only one slice's activations live at a time). "
+                             "Identical trajectory to the whole-batch step "
+                             "modulo fp summation order; trades step time "
+                             "for activation HBM — the members/chip "
+                             "ceiling is activation-bound "
+                             "(docs/sd_members_table.jsonl). 0 = whole "
+                             "batch.")
     parser.add_argument("--lora_dir", type=str, default=None,
                         help="trained/pruned LoRA .npz to start from (gd/pruned_ft)")
     parser.add_argument("--opt_seed", type=int, default=42)
@@ -299,6 +310,11 @@ def main(argv=None):
     table, sizes = pad_member_indices([r[0] for r in removals], pad_multiple=8)
     table_j, sizes_j = jnp.asarray(table), jnp.asarray(sizes)
     batch = min(args.train_batch_size, int(sizes.min()))
+    if args.microbatch and batch % args.microbatch:
+        raise SystemExit(
+            f"--microbatch {args.microbatch} must divide the effective batch "
+            f"{batch} (the batch is reshaped into equal accumulation slices)"
+        )
 
     snr = None
     if args.snr_gamma is not None:
@@ -317,23 +333,48 @@ def main(argv=None):
         t = jax.random.randint(k_t, (batch,), 0, sched_spec.num_train_timesteps)
         noise = jax.random.normal(k_n, lat.shape)
 
-        def loss_fn(lo):
+        def loss_fn(lo, lat_i, noise_i, t_i, ehs_i):
             from ..diffusion.schedulers import add_noise
             from ..models.lora import lora_collection
 
-            x_t = add_noise(schedule, lat, noise, t)
+            x_t = add_noise(schedule, lat_i, noise_i, t_i)
             # LoRA rides as a side branch: no per-member merged copy of the
             # 860M base in HBM (models.layers.LoRADense).
             eps = model.apply(
-                {"params": base, "lora": lora_collection(lo)}, x_t, t, ehs
+                {"params": base, "lora": lora_collection(lo)}, x_t, t_i, ehs_i
             )
-            err = jnp.mean((eps - noise) ** 2, axis=(1, 2, 3))
+            err = jnp.mean((eps - noise_i) ** 2, axis=(1, 2, 3))
             if snr is not None:
-                w = jnp.minimum(snr[t], args.snr_gamma) / snr[t]
+                w = jnp.minimum(snr[t_i], args.snr_gamma) / snr[t_i]
                 err = err * w
             return jnp.mean(err)
 
-        loss, grads = jax.value_and_grad(loss_fn)(lora)
+        if args.microbatch and args.microbatch < batch:
+            # Sequential gradient accumulation (see --microbatch). The
+            # conditioning rides the scan xs with lat/noise/t so every slice
+            # trains against its OWN per-example embeddings.
+            nm = batch // args.microbatch
+            xs = (
+                lat.reshape((nm, args.microbatch) + lat.shape[1:]),
+                noise.reshape((nm, args.microbatch) + noise.shape[1:]),
+                t.reshape(nm, args.microbatch),
+                ehs.reshape((nm, args.microbatch) + ehs.shape[1:]),
+            )
+
+            def micro(carry, sl):
+                g_acc, l_acc = carry
+                l, g = jax.value_and_grad(loss_fn)(lora, *sl)
+                g_acc = jax.tree_util.tree_map(jnp.add, g_acc, g)
+                return (g_acc, l_acc + l), None
+
+            zero = jax.tree_util.tree_map(jnp.zeros_like, lora)
+            (g_sum, l_sum), _ = jax.lax.scan(micro, (zero, 0.0), xs)
+            grads = jax.tree_util.tree_map(lambda g: g / nm, g_sum)
+            loss = l_sum / nm
+        else:
+            loss, grads = jax.value_and_grad(
+                lambda lo: loss_fn(lo, lat, noise, t, ehs)
+            )(lora)
         updates, opt_st = tx.update(grads, opt_st, lora)
         import optax as _optax
 

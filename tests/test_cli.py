@@ -150,6 +150,60 @@ def test_shapley_pipeline_by_class(tmp_path):
     assert attrs.shape[0] == 10
 
 
+def test_shapley_pipeline_sparse_ft_method(tmp_path):
+    """--method prune_fine_tune --load: the paper's central comparison —
+    sparse-FT fit subsets (fine-tuned from a shared pruned base, their own
+    step budget) fitted against ground-truth RETRAIN test rows (reference
+    shapley_lds.py:228-283). Fit rows must carry the method and the anchors
+    must come from the method game, while test rows stay retrain."""
+    import json
+
+    from group_attribution_for_diffusion_models_tpu.cli import (
+        main as train_main,
+        prune,
+        shapley_pipeline,
+    )
+
+    out = str(tmp_path)
+    db = os.path.join(out, "synthetic_64x8_mix_pipeline_db.jsonl")
+    # Full model -> pruned base.
+    train_main.main([
+        "--dataset", "synthetic_64x8_mix", "--method", "retrain",
+        "--removal_dist", "full", "--outdir", out, "--db", db,
+        "--training_steps", "2", "--batch_size", "8", "--sample_freq", "0",
+    ])
+    prune.main([
+        "--dataset", "synthetic_64x8_mix",
+        "--load", os.path.join(out, "synthetic_64x8_mix", "retrain",
+                               "models", "full"),
+        "--pruning_ratio", "0.25", "--pruner", "magnitude", "--outdir", out,
+    ])
+    pruned = os.path.join(out, "synthetic_64x8_mix", "prune", "models", "full")
+    shapley_pipeline.main([
+        "--dataset", "synthetic_64x8_mix", "--by_class",
+        "--method", "prune_fine_tune", "--load", pruned,
+        "--num_fit_subsets", "4", "--num_test_subsets", "3",
+        "--training_steps", "3", "--fit_training_steps", "2",
+        "--batch_size", "8", "--behavior", "eval_loss", "--chunk_size", "4",
+        "--outdir", out, "--db", db,
+    ])
+    rows = [json.loads(l) for l in open(db)]
+    summary = rows[-1]
+    assert summary["method"] == "prune_fine_tune"
+    assert summary["fit_training_steps"] == 2
+    assert "lds_mean" in summary and "lds_pooled" in summary
+    fit = [r for r in rows if r.get("removal_dist") == "shapley"
+           and r.get("method") == "prune_fine_tune"]
+    test = [r for r in rows if r.get("removal_dist") == "datamodel"]
+    assert len(fit) == 4 and all(r["training_steps"] == 2 for r in fit)
+    assert len(test) == 3 and all(r["method"] == "retrain" for r in test)
+    # Method-game anchors: full rows exist for prune_fine_tune at 0 and
+    # fit_training_steps.
+    anchors = [r for r in rows if r.get("removal_dist") == "full"
+               and r.get("method") == "prune_fine_tune"]
+    assert {r["training_steps"] for r in anchors} >= {0, 2}
+
+
 def test_main_scan_chunk_fast_path(tmp_path):
     """--scan_chunk: device-resident lax.scan training with host events
     (log/sample/ckpt) firing at their exact step boundaries."""

