@@ -120,7 +120,7 @@ def _train_chunked(args, dist, seed_start, num, db, method="retrain",
             # the pipeline. Ref stats cache is shared across chunks.
             argv += ["--score", {"fid_value": "fid", "is": "is"}[args.behavior],
                      "--ref_stats",
-                     os.path.join(args.outdir, "inception_ref_stats.npz")]
+                     os.path.join(args.outdir, "inception_ref_stats.pkl")]
             if args.inception_weights:
                 argv += ["--inception_weights", args.inception_weights]
         if steps is not None:
@@ -215,7 +215,7 @@ def main(argv=None):
         if args.behavior in ("fid_value", "is"):
             argv += ["--score", {"fid_value": "fid", "is": "is"}[args.behavior],
                      "--ref_stats",
-                     os.path.join(args.outdir, "inception_ref_stats.npz")]
+                     os.path.join(args.outdir, "inception_ref_stats.pkl")]
             if args.inception_weights:
                 argv += ["--inception_weights", args.inception_weights]
         if args.batch_size:

@@ -150,6 +150,41 @@ def test_shapley_pipeline_by_class(tmp_path):
     assert attrs.shape[0] == 10
 
 
+@pytest.mark.slow
+def test_shapley_pipeline_fid_behavior(tmp_path):
+    """--behavior fid_value: sampling + InceptionV3 scoring run INSIDE the
+    ensemble loop (train_ensemble --score fid), every subset row carries a
+    real fid_value, and the LDS fit consumes them. Uses the He-rescaled
+    random tower (inception_v3.load_inception) whose features are
+    signal-bearing without egress weights."""
+    import json
+
+    from group_attribution_for_diffusion_models_tpu.cli import shapley_pipeline
+
+    out = str(tmp_path)
+    shapley_pipeline.main([
+        "--dataset", "synthetic_64x8_mix", "--by_class",
+        "--fit_dist", "shapley_paired", "--removal_seed", "100",
+        "--num_fit_subsets", "4", "--num_test_subsets", "3",
+        "--training_steps", "2", "--batch_size", "8",
+        "--behavior", "fid_value", "--n_samples", "8",
+        "--num_inference_steps", "2", "--chunk_size", "4",
+        "--outdir", out,
+    ])
+    db = os.path.join(out, "synthetic_64x8_mix_pipeline_db.jsonl")
+    rows = [json.loads(l) for l in open(db)]
+    scored = [r for r in rows if r.get("fid_value") is not None]
+    # 4 fit + 3 test + 2 anchors.
+    assert len(scored) == 9
+    # The He-rescaled tower must produce non-degenerate FIDs (the default
+    # init collapsed every FID to ~0, carrying no subset signal).
+    fids = np.asarray([r["fid_value"] for r in scored])
+    assert fids.std() > 1e-3 and np.isfinite(fids).all()
+    assert "lds_mean" in rows[-1] and rows[-1]["behavior"] == "fid_value"
+    # Ref-stats cache shared across chunked invocations.
+    assert os.path.exists(os.path.join(out, "inception_ref_stats.pkl"))
+
+
 def test_shapley_pipeline_sparse_ft_method(tmp_path):
     """--method prune_fine_tune --load: the paper's central comparison —
     sparse-FT fit subsets (fine-tuned from a shared pruned base, their own
