@@ -21,14 +21,20 @@ mkdir -p "$OUT"
 python -m group_attribution_for_diffusion_models_tpu.cli.main \
   --dataset "$DATASET" --method retrain --removal_dist full \
   --training_steps "$STEPS" --batch_size 64 --outdir "$OUT" --db "$DB" \
-  --log_freq "$STEPS" --sample_freq 0 --scan_chunk 100
+  --log_freq 100 --sample_freq 0
 
 # 2) class-level datamodel test subsets with the low-t eval behavior.
-python -m group_attribution_for_diffusion_models_tpu.cli.train_ensemble \
-  --dataset "$DATASET" --removal_dist datamodel --by_class \
-  --seed_start 5000 --num_seeds "$TEST" --training_steps "$STEPS" \
-  --batch_size 64 --n_samples 0 --eval_loss --eval_t_min 0 --eval_t_max 100 \
-  --outdir "$OUT" --db "$DB" --no-save_ckpts --log_freq 200
+# Chunks of 16 members per compiled program: 48 stacked big-arch members at
+# batch 64 OOM the 16 GB HBM at compile (384 MB activation temps each).
+CHUNK=${CHUNK:-16}
+for start in $(seq 5000 "$CHUNK" $((5000 + TEST - 1))); do
+  n=$((5000 + TEST - start)); [ "$n" -gt "$CHUNK" ] && n=$CHUNK
+  python -m group_attribution_for_diffusion_models_tpu.cli.train_ensemble \
+    --dataset "$DATASET" --removal_dist datamodel --by_class \
+    --seed_start "$start" --num_seeds "$n" --training_steps "$STEPS" \
+    --batch_size 64 --n_samples 0 --eval_loss --eval_t_min 0 --eval_t_max 100 \
+    --outdir "$OUT" --db "$DB" --no-save_ckpts --log_freq 200
+done
 
 # 3) the table.
 MODEL_DIR=$(find "$OUT/$DATASET" -type d -path "*models/full*" | sort | head -1)
