@@ -291,9 +291,19 @@ def make_feature_fn(model: InceptionV3, variables, batch_size: int = 256):
     def extract(images: np.ndarray):
         feats, logits = [], []
         for i in range(0, len(images), batch_size):
-            f, l = _one(jnp.asarray(images[i : i + batch_size]))
-            feats.append(np.asarray(f))
-            logits.append(np.asarray(l))
+            chunk = np.asarray(images[i : i + batch_size])
+            n = len(chunk)
+            if n < batch_size and i > 0:
+                # Pad the ragged tail to the compiled batch shape instead of
+                # compiling a second executable per distinct remainder (the
+                # relay charges minutes per fresh compile).
+                chunk = np.concatenate(
+                    [chunk, np.zeros((batch_size - n,) + chunk.shape[1:],
+                                     chunk.dtype)]
+                )
+            f, l = _one(jnp.asarray(chunk))
+            feats.append(np.asarray(f)[:n])
+            logits.append(np.asarray(l)[:n])
         return np.concatenate(feats), np.concatenate(logits)
 
     return extract

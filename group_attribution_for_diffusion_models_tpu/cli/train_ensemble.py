@@ -494,9 +494,7 @@ def main(argv=None):
 
         t_start = time.time()
         inception, inc_vars = load_inception(args.inception_weights)
-        extract = make_feature_fn(
-            inception, inc_vars, batch_size=min(args.n_samples, 256)
-        )
+        extract = make_feature_fn(inception, inc_vars, batch_size=256)
         samples3 = (
             np.repeat(samples, 3, axis=-1) if samples.shape[-1] == 1 else samples
         )
@@ -512,9 +510,16 @@ def main(argv=None):
                 ref_stats = compute_feature_stats(ref_feats)
                 if args.ref_stats:
                     save_stats(args.ref_stats, *ref_stats)
+        # One extract over the flattened (members*n, H, W, C) stack: the
+        # Inception forward batches across members (fewer, larger device
+        # dispatches — the per-member loop was relay-latency-bound), then
+        # the features split back per member for the FID/IS math.
+        nm, ns = samples3.shape[0], samples3.shape[1]
+        feats_all, logits_all = extract(samples3.reshape((nm * ns,) + samples3.shape[2:]))
         fid_vals, is_vals = [], []
-        for m in range(len(seeds)):
-            feats, logits = extract(samples3[m])
+        for m in range(nm):
+            feats = feats_all[m * ns:(m + 1) * ns]
+            logits = logits_all[m * ns:(m + 1) * ns]
             fid_vals.append(
                 calculate_fid_from_features(feats, ref_stats=ref_stats)
                 if ref_stats is not None else None
