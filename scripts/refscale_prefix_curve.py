@@ -29,10 +29,17 @@ from group_attribution_for_diffusion_models_tpu.utils.jsonl import (  # noqa: E4
 )
 
 
-def rows_to_xy(db, dataset, dist, lo, hi, n_units, labels, behavior):
+def rows_to_xy(db, dataset, dist, lo, hi, n_units, labels, behavior,
+               method="retrain", steps=None):
+    # Method + step budget are part of the row identity: after a sparse-FT
+    # comparison run the SAME DB holds prune_fine_tune rows for the same
+    # (dist, seed) windows — mixing families here would corrupt the curve.
     masks, ys = [], []
-    for rec in filter_records(db, {"dataset": dataset, "removal_dist": dist}):
+    for rec in filter_records(db, {"dataset": dataset, "removal_dist": dist,
+                                   "method": method}):
         if rec.get(behavior) is None:
+            continue
+        if steps is not None and rec.get("training_steps", steps) != steps:
             continue
         seed = rec.get("removal_seed")
         if seed is None or not (lo <= int(seed) < hi):
@@ -50,30 +57,37 @@ def rows_to_xy(db, dataset, dist, lo, hi, n_units, labels, behavior):
 def main():
     db = sys.argv[1]
     dataset = sys.argv[2] if len(sys.argv) > 2 else "synthetic_2048x32_c32_tpl_mix_sizes"
+    # argv[3]: fit-row step budget; argv[4]: fit-row method (retrain default).
+    method = sys.argv[4] if len(sys.argv) > 4 else "retrain"
     behavior = "eval_loss"
     ds = create_dataset(dataset, train=True)
     labels = np.asarray(ds.labels)
     n_units = int(labels.max()) + 1
 
-    x_fit, y_fit = rows_to_xy(db, dataset, "shapley_paired", 100, 100 + 10_000,
-                              n_units, labels, behavior)
-    x_test, y_test = rows_to_xy(db, dataset, "datamodel", 5000, 5000 + 10_000,
-                                n_units, labels, behavior)
-
     # The v1 anchor must come from the full-distribution row at the SAME
-    # step budget as the fit rows (shapley_pipeline.py matches
+    # step budget (and method) as the fit rows (shapley_pipeline.py matches
     # training_steps == v1_steps); a DB holding full-model rows at several
     # budgets would otherwise hand back whichever was appended last and
     # shift the whole curve. Budget from argv[3] or the fit rows themselves.
     v1_steps = int(sys.argv[3]) if len(sys.argv) > 3 else None
     if v1_steps is None:
         fit_steps = [rec.get("training_steps") for rec in filter_records(
-            db, {"dataset": dataset, "removal_dist": "shapley_paired"})
+            db, {"dataset": dataset, "removal_dist": "shapley_paired",
+                 "method": method})
             if rec.get("training_steps")]
         v1_steps = max(set(fit_steps), key=fit_steps.count) if fit_steps else None
 
+    x_fit, y_fit = rows_to_xy(db, dataset, "shapley_paired", 100, 100 + 10_000,
+                              n_units, labels, behavior, method=method,
+                              steps=v1_steps)
+    # Test rows are always ground-truth retrains (the method comparison's
+    # fixed side); their budget may differ from the fit rows'.
+    x_test, y_test = rows_to_xy(db, dataset, "datamodel", 5000, 5000 + 10_000,
+                                n_units, labels, behavior, method="retrain")
+
     v1 = v0 = None
-    for rec in filter_records(db, {"dataset": dataset, "removal_dist": "full"}):
+    for rec in filter_records(db, {"dataset": dataset, "removal_dist": "full",
+                                   "method": method}):
         if rec.get(behavior) is None:
             continue
         if rec.get("training_steps") == 0:
@@ -93,7 +107,8 @@ def main():
     groups = [(x_test[i * b:(i + 1) * b], y_test[i * b:(i + 1) * b])
               for i in range(n_grp)]
 
-    out = {"dataset": dataset, "behavior": behavior, "v1": v1, "v0": v0,
+    out = {"dataset": dataset, "behavior": behavior, "method": method,
+           "fit_training_steps": v1_steps, "v1": v1, "v0": v0,
            "num_test": int(len(x_test)), "test_groups": n_grp, "curve": []}
     for n in (32, 64, 128, 250, 374, len(x_fit)):
         n = min(n, len(x_fit))
@@ -105,9 +120,11 @@ def main():
         if n == len(x_fit):
             break
 
-    with open("docs/refscale_prefix_curve.json", "w") as f:
+    suffix = "" if method == "retrain" else f"_{method}"
+    path = f"docs/refscale_prefix_curve{suffix}.json"
+    with open(path, "w") as f:
         json.dump(out, f, indent=2)
-    print("-> docs/refscale_prefix_curve.json")
+    print(f"-> {path}")
 
 
 if __name__ == "__main__":
