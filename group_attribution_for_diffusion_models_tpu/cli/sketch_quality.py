@@ -115,20 +115,33 @@ def main(argv=None):
             rows.append(np.asarray(feat_fn(params, batch, key)))
         return np.concatenate(rows)
 
+    timings = {}
+
     def variant_scores(name, **feat_kwargs):
+        import time
+
         feat_fn = make_grad_feature_fn(
             model.apply, schedule, cfg.scheduler, output_fn=args.output_fn,
             proj_dim=args.proj_dim, num_timesteps=args.num_timesteps,
             proj_seed=args.seed, **feat_kwargs,
         )
+        # Warm (compile) on one batch so the recorded rate is the steady
+        # state, not the relay's compile latency.
+        feat_fn(params, jnp.asarray(images[: args.batch_size]),
+                jax.random.PRNGKey(0))
+        t0 = time.time()
         phi_t = extract(feat_fn, images)
+        dt = time.time() - t0
+        timings[name] = {"train_extract_s": round(dt, 2),
+                         "examples_per_s": round(len(images) / dt, 2)}
         phi_g = extract(feat_fn, gen_images)
         scores = compute_gradient_scores(
             phi_t, phi_g, method="trak", lambda_reg=args.lambda_reg
         )
         per_example = scores.mean(axis=1)
         per_group = aggregate_by_group(scores, labels, mode="sum")
-        print(f"[{name}] features {phi_t.shape}; per-group "
+        print(f"[{name}] features {phi_t.shape} in {dt:.1f}s "
+              f"({len(images) / dt:.1f} ex/s); per-group "
               f"{np.round(per_group, 4).tolist()}", flush=True)
         return per_example, per_group
 
@@ -154,6 +167,7 @@ def main(argv=None):
         "n_gen": int(args.n_gen), "sketch_ks": list(args.sketch_ks),
         "variants": {},
     }
+    report["timings"] = timings
     ref_ex, ref_grp = variants["full"]
     attn_ex, attn_grp = variants["attn_full"]
     for name, (ex, grp) in variants.items():
